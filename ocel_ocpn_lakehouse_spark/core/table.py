@@ -1,0 +1,452 @@
+"""Table: append/overwrite/replace commits, scans, time travel, evolution.
+
+The Spark-side equivalent of the reference's PyIceberg ``Table`` handle
+(loaded at ingest/production_bootstrap.py:584-590, scanned via
+``daft.read_iceberg`` at agent/process_mining_queries.py:79). Writes go
+through a two-phase protocol: executors write Parquet into ``_staging/``,
+the driver registers the files into a manifest and commits a new snapshot
+(reference analog: staged-load flow ingest/daft_batch_ocel_loader.py:151-165
++ ops/commit_staged_files.py:47-88).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import manifests as mf
+from . import metadata as meta
+from .spec import PartitionSpec, SortOrder, TableSpec
+
+DATA_DIR = "data"
+STAGING_DIR = "_staging"
+
+
+@dataclass
+class PrunePredicate:
+    """A simple predicate usable for manifest-level file pruning.
+
+    column may be a data column (compared against per-file min/max from
+    footer stats) or a partition column ``_p_<name>`` (compared against
+    the file's partition value).
+    """
+
+    column: str
+    op: str  # '=', '<', '<=', '>', '>=', 'in'
+    value: object
+
+
+def _bounds_overlap(pred: PrunePredicate, lower, upper) -> bool:
+    """Conservative: True (keep file) unless bounds prove no row matches."""
+    if lower is None or upper is None:
+        return True
+    v = pred.value
+    try:
+        if pred.op == "=":
+            return lower <= v <= upper
+        if pred.op == "<":
+            return lower < v
+        if pred.op == "<=":
+            return lower <= v
+        if pred.op == ">":
+            return upper > v
+        if pred.op == ">=":
+            return upper >= v
+        if pred.op == "in":
+            return any(lower <= x <= upper for x in v)
+    except TypeError:
+        return True
+    return True
+
+
+class Table:
+    def __init__(self, root: str, md: meta.TableMetadata):
+        self.root = root
+        self.md = md
+
+    # ---- basics -----------------------------------------------------------
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.md.schema_json))
+
+    @property
+    def partition_spec(self) -> PartitionSpec:
+        return PartitionSpec.from_list(self.md.partition_spec)
+
+    @property
+    def sort_order(self) -> SortOrder:
+        return SortOrder.from_list(self.md.sort_order)
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.md.properties
+
+    def prop_int(self, key: str, default: int = 0) -> int:
+        return int(self.md.properties.get(key, default))
+
+    @property
+    def target_file_size(self) -> int:
+        return self.prop_int("write.target-file-size-bytes", 256 * 1024 * 1024)
+
+    @property
+    def small_file_bytes(self) -> int:
+        return self.prop_int("compact.small-file-bytes", 64 * 1024 * 1024)
+
+    @property
+    def metadata_dir(self) -> str:
+        return meta.metadata_dir(self.root)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, DATA_DIR)
+
+    def refresh(self) -> "Table":
+        self.md = meta.load_metadata(self.root)
+        return self
+
+    def stats_columns(self) -> set[str] | None:
+        """Columns we track min/max for: all non-binary top-level columns."""
+        return {f.name for f in self.schema.fields if not isinstance(f.dataType, T.BinaryType)}
+
+    # ---- snapshot / manifest access ----------------------------------------
+    def snapshots(self) -> list[meta.Snapshot]:
+        return list(self.md.snapshots)
+
+    def current_snapshot(self) -> meta.Snapshot | None:
+        return self.md.current_snapshot()
+
+    def _resolve_snapshot(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> meta.Snapshot | None:
+        if snapshot_id is not None:
+            return self.md.snapshot_by_id(snapshot_id)
+        if as_of_ms is not None:
+            return self.md.snapshot_as_of(as_of_ms)
+        return self.md.current_snapshot()
+
+    def live_entries(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> list[mf.ManifestEntry]:
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        return mf.read_manifests(self.metadata_dir, snap.manifests)
+
+    def entries_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Manifest entries as a DataFrame — the metadata-scan source (S3)
+        feeding health analysis / compaction planning / skew metrics."""
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None or not snap.manifests:
+            return spark.createDataFrame([], schema=_entries_spark_schema())
+        paths = [os.path.join(self.metadata_dir, m) for m in snap.manifests]
+        return spark.read.parquet(*paths)
+
+    # ---- scan ---------------------------------------------------------------
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        prune: Sequence[PrunePredicate] | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot as a DataFrame with manifest-level file pruning.
+
+        Pruning happens before Spark sees any path: partition values and
+        per-file min/max bounds eliminate files (the engine-side version of
+        Iceberg scan planning; Parquet row-group pushdown still applies
+        afterwards inside Spark's reader).
+        """
+        entries = self.live_entries(snapshot_id, as_of_ms)
+        if prune:
+            entries = [e for e in entries if self._entry_matches(e, prune)]
+        schema = self.schema
+        if not entries:
+            df = spark.createDataFrame([], schema=schema)
+        else:
+            paths = [os.path.join(self.root, e.path) for e in entries]
+            df = spark.read.schema(schema).parquet(*paths)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def _entry_matches(self, e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
+        for p in preds:
+            if p.column in e.partition:
+                pv = e.partition[p.column]
+                if p.op == "=" and pv != p.value:
+                    return False
+                if p.op == "in" and pv not in p.value:
+                    return False
+                continue
+            lo = e.lower_bounds.get(p.column)
+            hi = e.upper_bounds.get(p.column)
+            if not _bounds_overlap(p, lo, hi):
+                return False
+        return True
+
+    def bucket_value(self, spark: SparkSession, source_value) -> int | None:
+        """Compute the bucket partition value for a key (point-lookup pruning,
+        SURVEY §2.2 P8). Uses Spark's own xxhash64 for consistency with the
+        write path."""
+        for f in self.partition_spec.fields:
+            if f.transform == "bucket":
+                row = spark.range(1).select(
+                    F.pmod(F.xxhash64(F.lit(source_value)), F.lit(f.num_buckets)).alias("b")
+                ).first()
+                return int(row["b"])
+        return None
+
+    # ---- writes -------------------------------------------------------------
+    def _stage_dir(self) -> str:
+        d = os.path.join(self.root, STAGING_DIR, uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        sort_within: Sequence[str] | None = None,
+        stage_dir: str | None = None,
+    ) -> list[mf.ManifestEntry]:
+        """Two-phase write, phase 1: write Parquet to staging, publish files
+        into data/, return manifest entries (NOT yet committed).
+
+        Partition columns are computed executor-side from the spec; files
+        land under hive-style partition dirs. ``num_files`` controls output
+        fragmentation (used by fixtures to create unhealthy states and by
+        compaction to hit the target file size).
+        """
+        spark = df.sparkSession
+        spec = self.partition_spec
+        pcols = spec.partition_columns()
+        out = df
+        for f in spec.fields:
+            out = out.withColumn(f.partition_column, f.to_column())
+        if num_files is not None:
+            if pcols:
+                out = out.repartition(num_files, *pcols)
+            else:
+                out = out.repartition(num_files)
+        if sort_within:
+            out = out.sortWithinPartitions(*([*pcols, *sort_within] if pcols else sort_within))
+        elif self.sort_order.fields:
+            sc = [f.column for f in self.sort_order.fields if f.column in df.columns]
+            if sc:
+                out = out.sortWithinPartitions(*([*pcols, *sc] if pcols else sc))
+
+        staging = stage_dir or self._stage_dir()
+        writer = out.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        return self.publish_staged(spark, staging)
+
+    def publish_staged(self, spark: SparkSession, staging: str) -> list[mf.ManifestEntry]:
+        """Phase-1b: move staged Parquet into data/ and build entries with
+        distributed footer stats. Idempotent w.r.t. crash-before-commit:
+        files in data/ unreferenced by any manifest are orphans, swept by
+        maintenance (reference: ops/fix_iceberg_registration.py:45-74)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        published: list[tuple[str, dict]] = []  # (relpath, partition)
+        for dirpath, _dirnames, filenames in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            partition = {}
+            if rel != ".":
+                for part in rel.split(os.sep):
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        partition[k] = _parse_partition_value(v)
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                sub = "" if rel == "." else rel
+                destdir = os.path.join(self.data_dir, sub)
+                os.makedirs(destdir, exist_ok=True)
+                newname = f"{uuid.uuid4().hex[:8]}-{fn}"
+                os.rename(os.path.join(dirpath, fn), os.path.join(destdir, newname))
+                relpath = os.path.join(DATA_DIR, sub, newname) if sub else os.path.join(DATA_DIR, newname)
+                published.append((relpath, partition))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        abs_paths = [os.path.join(self.root, rp) for rp, _ in published]
+        stats = mf.collect_stats(spark, abs_paths, self.stats_columns())
+        entries = []
+        for (relpath, partition), ap in zip(published, abs_paths):
+            st = stats[ap]
+            entries.append(
+                mf.ManifestEntry(
+                    path=relpath,
+                    partition=partition,
+                    size_bytes=os.path.getsize(ap),
+                    record_count=st["record_count"],
+                    lower_bounds=st["lower_bounds"],
+                    upper_bounds=st["upper_bounds"],
+                    null_counts=st["null_counts"],
+                )
+            )
+        return entries
+
+    # ---- commits ------------------------------------------------------------
+    def _commit(self, build: Callable[[meta.TableMetadata], meta.Snapshot]) -> meta.Snapshot:
+        """Optimistic-retry commit loop."""
+        for _attempt in range(5):
+            md = meta.load_metadata(self.root)
+            snap = build(md)
+            md.apply_snapshot(snap)
+            try:
+                meta.commit_metadata(self.root, md, md.version)
+                self.md = md
+                return snap
+            except meta.ConflictError:
+                continue
+        raise meta.ConflictError(f"commit failed after retries on {self.root}")
+
+    def append(self, df: DataFrame, num_files: int | None = None) -> meta.Snapshot:
+        entries = self.write_data_files(df, num_files=num_files)
+        return self.commit_append(entries)
+
+    def commit_append(self, entries: list[mf.ManifestEntry]) -> meta.Snapshot:
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            seq = md.last_sequence_number + 1
+            for e in entries:
+                e.added_snapshot_id = seq
+            name = mf.write_manifest(self.metadata_dir, entries, seq)
+            parent = md.current_snapshot()
+            manifest_list = (parent.manifests if parent else []) + [name]
+            return md.new_snapshot(
+                "append",
+                manifest_list,
+                {
+                    "added-files": len(entries),
+                    "added-records": sum(e.record_count for e in entries),
+                    "added-bytes": sum(e.size_bytes for e in entries),
+                },
+            )
+
+        return self._commit(build)
+
+    def overwrite(self, df: DataFrame, num_files: int | None = None) -> meta.Snapshot:
+        """Replace table contents (MV refresh path — reference
+        ops/materialized_views.py:290 write_iceberg(mode='overwrite')).
+        Old files stay on disk until snapshot expiry: time travel works."""
+        entries = self.write_data_files(df, num_files=num_files)
+
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            seq = md.last_sequence_number + 1
+            for e in entries:
+                e.added_snapshot_id = seq
+            name = mf.write_manifest(self.metadata_dir, entries, seq)
+            return md.new_snapshot(
+                "overwrite",
+                [name],
+                {"added-files": len(entries), "added-records": sum(e.record_count for e in entries)},
+            )
+
+        return self._commit(build)
+
+    def commit_replace(
+        self,
+        removed_paths: set[str],
+        added_entries: list[mf.ManifestEntry],
+        operation: str = "replace",
+        summary: dict | None = None,
+    ) -> meta.Snapshot:
+        """Commit a rewrite: live files minus removed plus added, with a full
+        manifest rewrite (T7): surviving entries are re-grouped by partition
+        into fresh, bounded manifests re-deriving per-partition grouping.
+        Data files themselves are untouched — old snapshots keep referencing
+        them (CoW sharing; expiry refcounts, SURVEY §7.3 hard part 1)."""
+
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            seq = md.last_sequence_number + 1
+            snap = md.current_snapshot()
+            current = mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
+            survivors = [e for e in current if e.path not in removed_paths]
+            for e in added_entries:
+                e.added_snapshot_id = seq
+            manifest_names = rewrite_manifests(self.metadata_dir, survivors + added_entries, seq)
+            s = {
+                "removed-files": len(removed_paths),
+                "added-files": len(added_entries),
+            }
+            if summary:
+                s.update(summary)
+            return md.new_snapshot(operation, manifest_names, s)
+
+        return self._commit(build)
+
+    # ---- schema evolution (T8: additive-only) --------------------------------
+    def add_column(self, name: str, spark_type: T.DataType) -> None:
+        """Metadata-only add-column; existing files null-fill on read
+        (reference plans this but never applies it —
+        ops/schema_evolution.py:105-166; additive-only policy :327-332)."""
+        schema = self.schema
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name} already exists")
+        new_schema = T.StructType(list(schema.fields) + [T.StructField(name, spark_type, True)])
+        next_id = max((f["id"] for f in self.md.schema_fields), default=0) + 1
+
+        md = meta.load_metadata(self.root)
+        md.schema_json = new_schema.json()
+        md.schema_fields = md.schema_fields + [{"id": next_id, "name": name}]
+        meta.commit_metadata(self.root, md, md.version)
+        self.md = md
+
+
+def rewrite_manifests(
+    metadata_dir: str, entries: list[mf.ManifestEntry], seq: int, max_entries: int = 100_000
+) -> list[str]:
+    """T7 manifest rewrite: group entries by partition, emit bounded-size
+    manifests (reference imports RewriteManifestsOperation but never calls
+    it — ops/advanced_partitioning.py:11; we execute it)."""
+    by_partition: dict[str, list[mf.ManifestEntry]] = {}
+    for e in entries:
+        key = json.dumps(e.partition, sort_keys=True)
+        by_partition.setdefault(key, []).append(e)
+    names: list[str] = []
+    batch: list[mf.ManifestEntry] = []
+    for key in sorted(by_partition):
+        for e in by_partition[key]:
+            batch.append(e)
+            if len(batch) >= max_entries:
+                names.append(mf.write_manifest(metadata_dir, batch, seq))
+                batch = []
+    if batch or not names:
+        names.append(mf.write_manifest(metadata_dir, batch, seq))
+    return names
+
+
+def _parse_partition_value(v: str):
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    for cast in (int,):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def _entries_spark_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partition", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("lower_bounds", T.StringType()),
+            T.StructField("upper_bounds", T.StringType()),
+            T.StructField("null_counts", T.StringType()),
+            T.StructField("added_snapshot_id", T.LongType()),
+        ]
+    )

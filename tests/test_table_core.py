@@ -1,0 +1,124 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, SortOrder, TableSpec
+from ocel_ocpn_lakehouse_spark.core.table import PrunePredicate
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("v", T.LongType(), False),
+    ]
+)
+
+
+def make_df(spark, n=100, start=0):
+    return spark.range(start, start + n).select(
+        F.format_string("id_%06d", F.col("id")).alias("id"), F.col("id").alias("v")
+    )
+
+
+def test_create_append_scan(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ns.t1", SCHEMA, TableSpec(partition_spec=PartitionSpec.bucket("id", 4))
+    )
+    t.append(make_df(spark, 100), num_files=4)
+    df = t.scan(spark)
+    assert df.count() == 100
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in SCHEMA.fields
+    ]
+    assert df.agg(F.sum("v")).first()[0] == sum(range(100))
+    # files live under bucket partition dirs
+    entries = t.live_entries()
+    assert all("id_bucket" in str(e.partition) for e in entries)
+    assert sum(e.record_count for e in entries) == 100
+
+
+def test_append_accumulates_snapshots(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("ns.t2", SCHEMA)
+    t.append(make_df(spark, 50), num_files=2)
+    t.append(make_df(spark, 50, start=50), num_files=2)
+    assert t.scan(spark).count() == 100
+    snaps = t.snapshots()
+    assert len(snaps) == 2
+    assert snaps[0].operation == "append"
+    # time travel to first snapshot
+    old = t.scan(spark, snapshot_id=snaps[0].snapshot_id)
+    assert old.count() == 50
+    assert old.agg(F.max("v")).first()[0] == 49
+
+
+def test_overwrite_keeps_time_travel(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("ns.t3", SCHEMA)
+    t.append(make_df(spark, 30), num_files=1)
+    first = t.current_snapshot().snapshot_id
+    t.overwrite(make_df(spark, 10, start=1000), num_files=1)
+    assert t.scan(spark).count() == 10
+    assert t.scan(spark, snapshot_id=first).count() == 30
+
+
+def test_min_max_pruning(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("ns.t4", SCHEMA)
+    # two appends with disjoint v ranges → separate files with disjoint bounds
+    t.append(make_df(spark, 100), num_files=1)
+    t.append(make_df(spark, 100, start=10_000), num_files=1)
+    all_entries = t.live_entries()
+    assert len(all_entries) == 2
+    pruned = [
+        e
+        for e in all_entries
+        if t._entry_matches(e, [PrunePredicate("v", ">=", 10_000)])
+    ]
+    assert len(pruned) == 1
+    df = t.scan(spark, prune=[PrunePredicate("v", ">=", 10_000)])
+    assert df.count() == 100
+
+
+def test_schema_evolution_null_fill(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("ns.t5", SCHEMA)
+    t.append(make_df(spark, 10), num_files=1)
+    t.add_column("extra", T.StringType())
+    df = t.scan(spark)
+    assert "extra" in df.columns
+    assert df.filter(F.col("extra").isNull()).count() == 10
+    # new writes carry the column
+    df2 = make_df(spark, 5, start=100).withColumn("extra", F.lit("x"))
+    t.append(df2, num_files=1)
+    assert t.scan(spark).filter(F.col("extra") == "x").count() == 5
+
+
+def test_create_twice_fails(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("ns.t6", SCHEMA)
+    with pytest.raises(FileExistsError):
+        cat.create_table("ns.t6", SCHEMA)
+    assert cat.table_exists("ns.t6")
+    assert cat.list_tables("ns") == ["ns.t6"]
+
+
+def test_point_lookup_bucket_pruning(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ns.t7", SCHEMA, TableSpec(partition_spec=PartitionSpec.bucket("id", 8))
+    )
+    t.append(make_df(spark, 200), num_files=8)
+    key = "id_000042"
+    b = t.bucket_value(spark, key)
+    assert b is not None
+    entries = t.live_entries()
+    kept = [e for e in entries if t._entry_matches(e, [PrunePredicate("_p_id_bucket", "=", b)])]
+    assert 0 < len(kept) < len(entries)
+    df = t.scan(spark, prune=[PrunePredicate("_p_id_bucket", "=", b)]).filter(
+        F.col("id") == key
+    )
+    assert df.count() == 1
