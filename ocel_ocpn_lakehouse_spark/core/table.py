@@ -217,14 +217,21 @@ class Table:
         num_files: int | None = None,
         sort_within: Sequence[str] | None = None,
         stage_dir: str | None = None,
+        distribution: str = "hash",
     ) -> list[mf.ManifestEntry]:
         """Two-phase write, phase 1: write Parquet to staging, publish files
         into data/, return manifest entries (NOT yet committed).
 
         Partition columns are computed executor-side from the spec; files
-        land under hive-style partition dirs. ``num_files`` controls output
-        fragmentation (used by fixtures to create unhealthy states and by
-        compaction to hit the target file size).
+        land under hive-style partition dirs.
+
+        ``distribution`` mirrors the reference's write.distribution-mode
+        (production_bootstrap.py:239-240):
+          - "hash": shuffle by partition columns → one file per partition
+            value per task set (healthy layout);
+          - "fragment": round-robin into ``num_files`` tasks → each task
+            writes a file per partition value it holds (deliberately
+            fragmented layout, the unhealthy state T1 detects).
         """
         spark = df.sparkSession
         spec = self.partition_spec
@@ -233,7 +240,7 @@ class Table:
         for f in spec.fields:
             out = out.withColumn(f.partition_column, f.to_column())
         if num_files is not None:
-            if pcols:
+            if pcols and distribution == "hash":
                 out = out.repartition(num_files, *pcols)
             else:
                 out = out.repartition(num_files)
@@ -311,8 +318,10 @@ class Table:
                 continue
         raise meta.ConflictError(f"commit failed after retries on {self.root}")
 
-    def append(self, df: DataFrame, num_files: int | None = None) -> meta.Snapshot:
-        entries = self.write_data_files(df, num_files=num_files)
+    def append(
+        self, df: DataFrame, num_files: int | None = None, distribution: str = "hash"
+    ) -> meta.Snapshot:
+        entries = self.write_data_files(df, num_files=num_files, distribution=distribution)
         return self.commit_append(entries)
 
     def commit_append(self, entries: list[mf.ManifestEntry]) -> meta.Snapshot:
