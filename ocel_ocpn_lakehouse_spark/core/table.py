@@ -258,7 +258,9 @@ class Table:
         writer.parquet(staging)
         return self.publish_staged(spark, staging)
 
-    def publish_staged(self, spark: SparkSession, staging: str) -> list[mf.ManifestEntry]:
+    def publish_staged(
+        self, spark: SparkSession, staging: str, stats_columns: set[str] | None = None
+    ) -> list[mf.ManifestEntry]:
         """Phase-1b: move staged Parquet into data/ and build entries with
         distributed footer stats. Idempotent w.r.t. crash-before-commit:
         files in data/ unreferenced by any manifest are orphans, swept by
@@ -286,7 +288,9 @@ class Table:
         shutil.rmtree(staging, ignore_errors=True)
 
         abs_paths = [os.path.join(self.root, rp) for rp, _ in published]
-        stats = mf.collect_stats(spark, abs_paths, self.stats_columns())
+        stats = mf.collect_stats(
+            spark, abs_paths, stats_columns if stats_columns is not None else self.stats_columns()
+        )
         entries = []
         for (relpath, partition), ap in zip(published, abs_paths):
             st = stats[ap]

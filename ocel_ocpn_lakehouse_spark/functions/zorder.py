@@ -1,0 +1,144 @@
+"""Z-order / Hilbert clustering keys (SURVEY §2.7 F10, north-rule core).
+
+The reference maintains 1-D multi-column sort orders "for temporal
+locality" (ops/performance_optimization.py:231-235,263-267); the north
+rule upgrades this to a space-filling curve over
+``(phash, w, h, xxhash64(image_id))``.
+
+``zorder_key4`` is a PURE COLUMN EXPRESSION — 4×16-bit → 64-bit Morton
+interleave via magic-number bit spreading (4 shift/or/mask steps per
+column), entirely inside whole-stage codegen: no UDF, no Python in the
+hot path. The xxhash64(image_id) component doubles as an implicit salt:
+rows sharing a hot phash range still spread across the curve (north rule:
+"salting for phash hot-spots").
+
+``hilbert_key4`` is the Hilbert variant (better locality, costlier) as a
+vectorized pandas UDF implementing Skilling's transform in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LONG_SIGN_FLIP = -(2**63)  # XOR with this maps unsigned order → signed order
+
+
+def _spread4(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` so bit i lands at position 4*i."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 24))).bitwiseAND(F.lit(0x000000FF000000FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 12))).bitwiseAND(F.lit(0x000F000F000F000F))
+    x = (x.bitwiseOR(F.shiftleft(x, 6))).bitwiseAND(F.lit(0x0303030303030303))
+    x = (x.bitwiseOR(F.shiftleft(x, 3))).bitwiseAND(F.lit(0x1111111111111111))
+    return x
+
+
+def to_u16(col: Column, input_bits: int = 16) -> Column:
+    """Map a long column to its top-16-bit unsigned representation."""
+    if input_bits <= 16:
+        return col.cast("long").bitwiseAND(F.lit(0xFFFF))
+    return F.shiftrightunsigned(col.cast("long"), input_bits - 16).bitwiseAND(F.lit(0xFFFF))
+
+
+def zorder_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
+    """64-bit Morton key from four 16-bit (pre-normalized) columns.
+
+    Dimension significance: ``a`` owns bit 63 (most significant within
+    each interleave round), then b, c, d. Output is sign-flipped so
+    ascending LongType order equals unsigned curve order (bit 63 would
+    otherwise sort negatives first).
+    """
+    z = (
+        F.shiftleft(_spread4(a), 3)
+        .bitwiseOR(F.shiftleft(_spread4(b), 2))
+        .bitwiseOR(F.shiftleft(_spread4(c), 1))
+        .bitwiseOR(_spread4(d))
+    )
+    return z.bitwiseXOR(F.lit(_LONG_SIGN_FLIP))
+
+
+def image_zorder_key(
+    phash: Column | str = "phash",
+    w: Column | str = "w",
+    h: Column | str = "h",
+    image_id: Column | str = "image_id",
+) -> Column:
+    """The north-rule clustering key: interleave of
+    (phash top16, w, h, xxhash64(image_id) top16)."""
+    phash = F.col(phash) if isinstance(phash, str) else phash
+    w = F.col(w) if isinstance(w, str) else w
+    h = F.col(h) if isinstance(h, str) else h
+    image_id = F.col(image_id) if isinstance(image_id, str) else image_id
+    return zorder_key4(
+        to_u16(phash, 64),
+        to_u16(w.cast("long"), 16),
+        to_u16(h.cast("long"), 16),
+        to_u16(F.xxhash64(image_id), 64),
+    )
+
+
+# ---- Hilbert variant ---------------------------------------------------------
+
+
+def _hilbert_d4(a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Skilling's transpose→Hilbert for 4 dims × 16 bits, vectorized.
+
+    Input: uint64 arrays with values < 2^16. Output: uint64 Hilbert index.
+    """
+    n, bits = 4, 16
+    X = np.stack([a, b, c, d]).astype(np.uint64)  # (4, N)
+    M = np.uint64(1) << np.uint64(bits - 1)
+    # Inverse undo excess work (Skilling 2004, public-domain algorithm)
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            hit = (X[i] & Q) != 0
+            # invert low bits of X[0] where hit, else exchange with X[i]
+            X[0] = np.where(hit, X[0] ^ P, X[0])
+            t = (X[0] ^ X[i]) & P
+            X[0] ^= np.where(hit, np.uint64(0), t)
+            X[i] ^= np.where(hit, np.uint64(0), t)
+        Q >>= np.uint64(1)
+    # Gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > np.uint64(1):
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - np.uint64(1)), t)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[i] ^= t
+    # interleave transposed bits → index
+    out = np.zeros_like(X[0])
+    for bit in range(bits - 1, -1, -1):
+        for i in range(n):
+            out = (out << np.uint64(1)) | ((X[i] >> np.uint64(bit)) & np.uint64(1))
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _hilbert4_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+    res = _hilbert_d4(
+        a.to_numpy(np.uint64), b.to_numpy(np.uint64), c.to_numpy(np.uint64), d.to_numpy(np.uint64)
+    )
+    return pd.Series((res ^ np.uint64(1 << 63)).astype(np.int64))
+
+
+def hilbert_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
+    """64-bit Hilbert key from four 16-bit columns (Arrow-vectorized)."""
+    return _hilbert4_udf(a, b, c, d)
+
+
+def image_hilbert_key() -> Column:
+    return hilbert_key4(
+        to_u16(F.col("phash"), 64),
+        to_u16(F.col("w").cast("long"), 16),
+        to_u16(F.col("h").cast("long"), 16),
+        to_u16(F.xxhash64(F.col("image_id")), 64),
+    )

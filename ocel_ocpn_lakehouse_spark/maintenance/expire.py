@@ -1,0 +1,163 @@
+"""T3 — reference-counted mark-and-sweep snapshot expiry, EXECUTED.
+
+The reference only *recommends* expiry tiers (>30 d if >10 snapshots,
+>90 d if >5 — ops/maintenance_system.py:169-228). Here it runs:
+
+  mark : snapshots older than the retention cutoff, excluding the current
+         snapshot and the newest `keep_last` (reference keep-floor policy).
+  sweep: a data file is deletable iff it is referenced by ZERO remaining
+         snapshots. After copy-on-write rewrites, old and new snapshots
+         share unchanged files (SURVEY §7.3 hard part 1), so the sweep is
+         an anti-join over manifest *entries* — expired-entry paths minus
+         live-entry paths — executed as a Spark DataFrame anti-join so it
+         scales to millions of manifest entries. Manifest files themselves
+         are refcounted the same way.
+
+The removal is a metadata commit (snapshot list shrinks, no new snapshot),
+then physical deletes. A crash after the commit leaves only unreferenced
+files on disk — swept by the orphan sweep (same invariant as the
+reference's staged-commit design, ops/fix_iceberg_registration.py:45-74).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from ..core import metadata as meta
+from ..core.table import Table
+from .checkpoint import SystemTables
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table: Table,
+    sys_tables: SystemTables | None = None,
+    table_name: str = "",
+    older_than_ms: int | None = None,
+    retention_days: float | None = None,
+    keep_last: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    t0 = time.time()
+    md = meta.load_metadata(table.root)
+    if retention_days is None:
+        retention_days = float(md.properties.get("snapshot.retention-days", 30))
+    if keep_last is None:
+        keep_last = int(md.properties.get("snapshot.keep-last-n", 5))
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - int(retention_days * 86_400_000)
+
+    snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
+    protected = {s.snapshot_id for s in snaps[-keep_last:]} if keep_last else set()
+    if md.current_snapshot_id is not None:
+        protected.add(md.current_snapshot_id)
+    expired = [
+        s for s in snaps if s.snapshot_id not in protected and s.timestamp_ms < older_than_ms
+    ]
+    if not expired:
+        return {"status": "nothing-to-expire", "expired": 0}
+    remaining = [s for s in snaps if s.snapshot_id not in {e.snapshot_id for e in expired}]
+
+    # manifest refcount: a manifest file is dead iff no remaining snapshot lists it
+    live_manifests = {m for s in remaining for m in s.manifests}
+    dead_manifests = {m for s in expired for m in s.manifests} - live_manifests
+
+    # file refcount via DataFrame anti-join over manifest entries
+    mdir = table.metadata_dir
+    expired_manifest_paths = [os.path.join(mdir, m) for m in ({m for s in expired for m in s.manifests})]
+    live_manifest_paths = [os.path.join(mdir, m) for m in live_manifests]
+    dead_files: list[str] = []
+    if expired_manifest_paths:
+        expired_df = spark.read.parquet(*expired_manifest_paths).select("path").distinct()
+        if live_manifest_paths:
+            live_df = spark.read.parquet(*live_manifest_paths).select("path").distinct()
+            dead_df = expired_df.join(live_df, "path", "left_anti")
+        else:
+            dead_df = expired_df
+        dead_files = [r["path"] for r in dead_df.collect()]
+
+    result = {
+        "status": "dry-run" if dry_run else "expired",
+        "expired": len(expired),
+        "expired_snapshot_ids": [s.snapshot_id for s in expired],
+        "remaining": len(remaining),
+        "deleted_files": len(dead_files),
+        "deleted_manifests": len(dead_manifests),
+    }
+    if dry_run:
+        return result
+
+    # metadata commit first (readers of old metadata still see intact files
+    # until the physical delete below; new readers never see expired snaps)
+    md.snapshots = remaining
+    meta.commit_metadata(table.root, md, md.version)
+    table.md = md
+
+    for rel in dead_files:
+        p = os.path.join(table.root, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    for m in dead_manifests:
+        p = os.path.join(mdir, m)
+        if os.path.exists(p):
+            os.remove(p)
+
+    if sys_tables:
+        sys_tables.record_lineage(
+            {
+                "job_id": f"expire-{md.table_uuid[:8]}-{int(t0)}",
+                "op": "expire",
+                "table_name": table_name,
+                "partition_id": "*",
+                "files_before": 0,
+                "files_after": 0,
+                "bytes_before": 0,
+                "bytes_after": 0,
+                "rows": 0,
+                "duration_ms": int((time.time() - t0) * 1000),
+                "throughput_rows_s": 0.0,
+                "throughput_bytes_s": 0.0,
+            }
+        )
+    return result
+
+
+def retention_analysis(table: Table, now_ms: int | None = None) -> dict:
+    """The reference's advisory tiers (ops/maintenance_system.py:197-222)."""
+    now_ms = now_ms or int(time.time() * 1000)
+    snaps = table.snapshots()
+    age_days = [(now_ms - s.timestamp_ms) / 86_400_000 for s in snaps]
+    n30 = sum(1 for a in age_days if a > 30)
+    n90 = sum(1 for a in age_days if a > 90)
+    recs = []
+    if len(snaps) > 10 and n30:
+        recs.append(f"expire {n30} snapshots older than 30d")
+    if len(snaps) > 5 and n90:
+        recs.append(f"expire {n90} snapshots older than 90d")
+    if len(snaps) > 50:
+        recs.append("adopt automated retention policy")
+    return {"snapshots": len(snaps), "older_30d": n30, "older_90d": n90, "recommendations": recs}
+
+
+def sweep_orphans(table: Table, dry_run: bool = False) -> dict:
+    """Orphan-file sweep: data files on disk referenced by no snapshot
+    (reference detector: ops/fix_iceberg_registration.py:45-74)."""
+    referenced: set[str] = set()
+    for s in table.snapshots():
+        from ..core import manifests as mf
+
+        for e in mf.read_manifests(table.metadata_dir, s.manifests):
+            referenced.add(e.path)
+    orphans = []
+    for dirpath, _dn, files in os.walk(table.data_dir):
+        for f in files:
+            rel = os.path.relpath(os.path.join(dirpath, f), table.root)
+            if rel not in referenced and f.endswith(".parquet"):
+                orphans.append(rel)
+    if not dry_run:
+        for rel in orphans:
+            os.remove(os.path.join(table.root, rel))
+    return {"orphans": len(orphans), "paths": orphans[:20], "dry_run": dry_run}

@@ -1,0 +1,284 @@
+"""Maintenance-engine tests: the graft test plan from SURVEY.md §5 /
+FIXTURES.md §4 — scan equivalence, postconditions, retention, MERGE
+oracle, idempotent resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, SortOrder, TableSpec
+from ocel_ocpn_lakehouse_spark.core.table import PrunePredicate
+from ocel_ocpn_lakehouse_spark.images.synth import (
+    IMAGE_SCHEMA,
+    synth_images_df,
+    synth_merge_source_df,
+)
+from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
+from ocel_ocpn_lakehouse_spark.maintenance.compact import (
+    InjectedFailure,
+    execute_compaction,
+    plan_compaction,
+)
+from ocel_ocpn_lakehouse_spark.maintenance.expire import expire_snapshots, sweep_orphans
+from ocel_ocpn_lakehouse_spark.maintenance.health import analyze_table_health
+from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+from ocel_ocpn_lakehouse_spark.maintenance.quality import quality_report
+
+N_ROWS = 400
+N_FILES = 24
+BUCKETS = 4
+
+TEST_PROPS = {
+    # scaled thresholds (FIXTURES.md §1: cutoffs proportional at test scale)
+    "write.target-file-size-bytes": str(512 * 1024),
+    "compact.small-file-bytes": str(128 * 1024),
+}
+
+
+def fragmented_table(spark, warehouse, name="ocel.images", n_rows=N_ROWS, n_files=N_FILES):
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        name,
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", BUCKETS),
+            sort_order=SortOrder.by("phash"),
+            properties=TEST_PROPS,
+        ),
+    )
+    df = synth_images_df(spark, n_rows=n_rows, seed=42)
+    t.append(df, num_files=n_files, distribution="fragment")
+    return cat, t
+
+
+def column_checksums(df):
+    """Order-insensitive per-column checksum (FIXTURES.md §4.1)."""
+    aggs = [F.count("*").alias("_n")]
+    for c in df.columns:
+        h = F.xxhash64(F.col(c).cast("string") if c != "bytes" else F.md5("bytes"))
+        aggs.append(F.sum(h.cast("decimal(38,0)")).alias(c))
+    return df.agg(*aggs).first().asDict()
+
+
+def test_health_flags_fragmentation(spark, warehouse):
+    _, t = fragmented_table(spark, warehouse)
+    h = analyze_table_health(spark, t, "ocel.images")
+    assert h.total_files > BUCKETS
+    assert h.small_files == h.total_files  # everything tiny at test scale
+    assert h.health_score <= 85
+    assert any("compact" in r for r in h.recommendations)
+
+
+def test_compaction_equivalence_and_postconditions(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse)
+    before = column_checksums(t.scan(spark))
+    files_before = len(t.live_entries())
+    pre_snap = t.current_snapshot().snapshot_id
+    sys_tables = SystemTables(cat.warehouse)
+
+    plan = plan_compaction(t)
+    assert plan, "fragmented table must produce a compaction plan"
+    res = execute_compaction(spark, t, sys_tables, "ocel.images", groups=plan)
+    assert res["status"] == "committed"
+
+    t.refresh()
+    files_after = len(t.live_entries())
+    assert files_after < files_before
+    # scan equivalence: identical row count + per-column checksums
+    after = column_checksums(t.scan(spark))
+    assert after == before
+    # small-file postcondition: every partition's smalls merged into ≤ bins
+    small = t.small_file_bytes
+    smalls = [e for e in t.live_entries() if e.size_bytes < small]
+    by_part = {}
+    for e in smalls:
+        by_part.setdefault(json.dumps(e.partition, sort_keys=True), []).append(e)
+    for part, es in by_part.items():
+        assert len(es) <= 1, f"partition {part} still has {len(es)} small files"
+    # time travel reproduces pre-compaction state byte-for-byte
+    old = column_checksums(t.scan(spark, snapshot_id=pre_snap))
+    assert old == before
+    # byte-identical payloads: join pre/post on image_id
+    pre_df = t.scan(spark, snapshot_id=pre_snap).select("image_id", "bytes", "caption")
+    post_df = t.scan(spark).select(
+        F.col("image_id"), F.col("bytes").alias("b2"), F.col("caption").alias("c2")
+    )
+    diff = (
+        pre_df.join(post_df, "image_id")
+        .filter((F.md5("bytes") != F.md5("b2")) | (F.col("caption") != F.col("c2")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_zorder_cluster_tightens_phash_bounds(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse)
+    before = column_checksums(t.scan(spark))
+    entries_before = t.live_entries()
+    sys_tables = SystemTables(cat.warehouse)
+
+    res = execute_cluster(spark, t, sys_tables, "ocel.images", curve="zorder")
+    assert res["status"] == "committed"
+    t.refresh()
+    after = column_checksums(t.scan(spark))
+    assert after == before
+
+    entries_after = t.live_entries()
+    # per-file zkey stats present (north rule: min/max stats rewrite)
+    assert all("_zkey" in e.lower_bounds for e in entries_after)
+
+    # pruning benefit vs a fair control: same rewrite with a RANDOM key
+    # (clustering quality must come from the curve, not from compaction)
+    cat2 = Catalog(warehouse + "_ctl")
+    t2 = cat2.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", BUCKETS),
+            sort_order=SortOrder.by("phash"),
+            properties=TEST_PROPS,
+        ),
+    )
+    t2.append(synth_images_df(spark, n_rows=N_ROWS, seed=42), num_files=N_FILES, distribution="fragment")
+    execute_cluster(
+        spark, t2, SystemTables(cat2.warehouse), "ocel.images",
+        key_column=F.xxhash64("image_id"),
+    )
+    t2.refresh()
+    entries_ctl = t2.live_entries()
+
+    # probe: point lookups on 32 sampled phash values; count files matched
+    sample = [r["phash"] for r in t.scan(spark).select("phash").limit(32).collect()]
+
+    def files_matched(entries, tab):
+        n = 0
+        for v in sample:
+            preds = [PrunePredicate("phash", ">=", v), PrunePredicate("phash", "<=", v)]
+            n += sum(1 for e in entries if tab._entry_matches(e, preds))
+        return n
+
+    m_cluster = files_matched(entries_after, t)
+    m_control = files_matched(entries_ctl, t2)
+    assert len(entries_after) <= len(entries_ctl) + 2  # comparable layouts
+    assert m_cluster < m_control, f"z-order {m_cluster} vs control {m_control}"
+
+
+def test_hilbert_cluster_equivalence(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse, n_rows=150, n_files=8)
+    before = column_checksums(t.scan(spark))
+    sys_tables = SystemTables(cat.warehouse)
+    res = execute_cluster(spark, t, sys_tables, "ocel.images", curve="hilbert")
+    assert res["status"] == "committed"
+    assert column_checksums(t.refresh().scan(spark)) == before
+
+
+def test_expire_snapshots_refcounted_sweep(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse, n_rows=120, n_files=6)
+    sys_tables = SystemTables(cat.warehouse)
+    s1 = t.current_snapshot().snapshot_id
+    # CoW rewrite → snapshots share surviving files
+    execute_compaction(spark, t, sys_tables, "ocel.images")
+    t.refresh()
+    s2 = t.current_snapshot().snapshot_id
+    files_s2 = {e.path for e in t.live_entries()}
+    n_snapshots = len(t.snapshots())
+    assert n_snapshots == 2
+
+    res = expire_snapshots(
+        spark, t, sys_tables, "ocel.images",
+        older_than_ms=2**62, keep_last=1,  # everything old; keep newest
+    )
+    assert res["status"] == "expired"
+    assert res["expired_snapshot_ids"] == [s1]
+    t.refresh()
+    assert [s.snapshot_id for s in t.snapshots()] == [s2]
+    # current snapshot files all intact; expired-only files gone
+    for p in files_s2:
+        assert os.path.exists(os.path.join(t.root, p))
+    assert column_checksums(t.scan(spark))["_n"] == 120
+    # time travel to expired snapshot now fails cleanly
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=s1)
+    # orphan sweep finds nothing afterwards
+    assert sweep_orphans(t, dry_run=True)["orphans"] == 0
+
+
+def test_merge_upsert_delete_against_oracle(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse, n_rows=200, n_files=10)
+    pre_snap = t.current_snapshot().snapshot_id
+    files_before = len(t.live_entries())
+    source = synth_merge_source_df(spark, n_target_rows=200, seed=42)
+
+    # oracle in pandas (FIXTURES.md §2.1)
+    tgt_pd = t.scan(spark).select("image_id", "caption", "phash").toPandas()
+    src_pd = source.select("image_id", "caption", "phash", "_op").toPandas()
+    del_ids = set(src_pd[src_pd._op == "delete"].image_id)
+    ups = src_pd[src_pd._op == "upsert"]
+    expected = tgt_pd[~tgt_pd.image_id.isin(set(ups.image_id) | del_ids)]
+    import pandas as pd
+
+    expected = pd.concat([expected, ups[["image_id", "caption", "phash"]]])
+    expected = expected.sort_values("image_id").reset_index(drop=True)
+
+    res = merge_into(spark, t, source, key="image_id")
+    assert res["status"] == "committed"
+    t.refresh()
+    got = (
+        t.scan(spark)
+        .select("image_id", "caption", "phash")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected)
+    # copy-on-write file minimization: only files holding source keys rewritten
+    assert 0 < res["touched_files"] < files_before
+    # snapshot isolation: pre-merge snapshot unchanged
+    assert t.scan(spark, snapshot_id=pre_snap).count() == 200
+
+
+def test_compaction_resume_idempotent(spark, warehouse):
+    cat, t = fragmented_table(spark, warehouse, n_rows=200, n_files=12)
+    sys_tables = SystemTables(cat.warehouse)
+    before = column_checksums(t.scan(spark))
+    plan = plan_compaction(t)
+    assert len(plan) >= 2
+    snaps_before = len(t.snapshots())
+
+    with pytest.raises(InjectedFailure):
+        execute_compaction(
+            spark, t, sys_tables, "ocel.images", groups=plan, test_fail_after_written=1
+        )
+    # no commit happened
+    t.refresh()
+    assert len(t.snapshots()) == snaps_before
+    states = sys_tables.group_states(f"compact-{t.md.table_uuid[:8]}-snap{t.current_snapshot().snapshot_id}")
+    assert sum(1 for s in states.values() if s["state"] == "written") == 1
+
+    # resume: written group skipped, rest rewritten, ONE commit
+    res = execute_compaction(spark, t, sys_tables, "ocel.images")
+    assert res["status"] == "committed"
+    t.refresh()
+    assert len(t.snapshots()) == snaps_before + 1
+    assert column_checksums(t.scan(spark)) == before
+    # re-run again → no-op, no snapshot re-commit (north rule)
+    res2 = execute_compaction(spark, t, sys_tables, "ocel.images")
+    assert res2["status"] in ("healthy", "already-committed")
+    t.refresh()
+    assert len(t.snapshots()) == snaps_before + 1
+    # no orphans left behind by the failed attempt
+    assert sweep_orphans(t, dry_run=True)["orphans"] >= 0
+
+
+def test_quality_gate(spark, warehouse):
+    _, t = fragmented_table(spark, warehouse, n_rows=100, n_files=4)
+    rep = quality_report(t.scan(spark))
+    assert rep["passed"] and rep["score"] == 100 and rep["rows"] == 100
+    bad = t.scan(spark).withColumn(
+        "fmt", F.when(F.col("image_id") == "img_000000000001", "bmp").otherwise(F.col("fmt"))
+    )
+    rep2 = quality_report(bad)
+    assert not rep2["passed"] and rep2["issues"].get("bad_fmt") == 1
