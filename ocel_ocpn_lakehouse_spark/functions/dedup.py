@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact        : hash-groupBy on a canonical fingerprint — one shuffle,
+                 map-side partial agg; the 100 TB workhorse.
+- ngram Jaccard: shingle → explode → self-join on shingle → per-pair
+                 intersection counts → Jaccard. The join key is the
+                 shingle, so only documents sharing a shingle ever meet
+                 (no O(n²) cross join); skewed shingles are capped by a
+                 document-frequency filter (stop-shingle removal), the
+                 standard scale guard.
+- MinHash LSH  : k independent min-hashes over shingles, banded into
+                 b buckets; candidate pairs = same (band, band-signature).
+                 Hashes are xxhash64(seed⊕shingle) — JVM-side, no UDF.
+- SimHash      : 64-bit signature from per-token hash bit votes;
+                 near-dup = hamming(sig_a, sig_b) ≤ k over LSH-ish
+                 prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ---- exact ------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (canonicalized) documents.
+
+    Returns (fp, n_dups, keeper_id) for groups with >1 member; keeper is
+    the smallest id (deterministic survivor policy)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per canonical fingerprint (min-id survivor)."""
+    w_keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep, id_col, "left_semi")
+
+
+# ---- shingling --------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (distinct)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if max_doc_freq:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    return ex
+
+
+# ---- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via shingle join."""
+    ex = _exploded_shingles(df, text_col, id_col, n, max_doc_freq)
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, array<long> signature): sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure column expressions — one explode + one
+    groupBy(min) per document; hashes computed JVM-side."""
+    ex = _exploded_shingles(df, text_col, id_col, n, None)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: same signature slice in any
+    band → candidate. Returns (id_a, id_b, est_jaccard) with the MinHash
+    Jaccard estimate (= fraction of agreeing hash positions)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).cache()
+    bands_df = None
+    for b in range(bands):
+        part = sig.select(
+            F.col(id_col).alias("_id"),
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("signature", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    l = bands_df.select(F.col("_id").alias("id_a"), "band", "bucket")
+    r = bands_df.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a"),
+        6,
+    )
+    return cand.join(sa, "id_a").join(sb, "id_b").withColumn("est_jaccard", est).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ---- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    hashes, as pure column expressions (64 bit-test aggregates folded over
+    the token array)."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
+        )
+        vote = (ones * 2 > n).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(vote, bit))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by the
+    4 rotated 16-bit prefixes (any pair within hamming 3 of a 64-bit sig
+    shares at least one exact 16-bit block — pigeonhole over 4 blocks)."""
+    sigs = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sig"))
+    blocks = None
+    for i in range(64 // prefix_bits):
+        part = sigs.select(
+            "_id",
+            "sig",
+            F.lit(i).alias("block"),
+            F.shiftrightunsigned("sig", i * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+            .alias("key"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    l = blocks.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "block", "key")
+    r = blocks.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "block", "key")
+    return (
+        l.join(r, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

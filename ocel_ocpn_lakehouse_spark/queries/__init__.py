@@ -1,0 +1,17 @@
+"""Driver-facing query surface: SURVEY.md §2 operators over the testdata
+tables, each with a DuckDB oracle where SQL-expressible.
+
+``QUERIES`` maps name → callable(spark, sf_dir) → DataFrame;
+``ORACLES`` maps the same names → ANSI SQL for DuckDB. Names absent from
+ORACLES get the driver's weaker rows-only check (noted per query).
+"""
+
+from .relational import QUERIES as _REL_QUERIES
+from .relational import ORACLES as _REL_ORACLES
+from .textml import QUERIES as _TM_QUERIES
+from .textml import ORACLES as _TM_ORACLES
+
+QUERIES = {**_REL_QUERIES, **_TM_QUERIES}
+ORACLES = {**_REL_ORACLES, **_TM_ORACLES}
+
+__all__ = ["QUERIES", "ORACLES"]

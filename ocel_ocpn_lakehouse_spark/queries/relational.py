@@ -1,0 +1,591 @@
+"""Relational operator coverage (SURVEY §2.2-§2.8) over the TPC-H-ish
+testdata + events stream table, with DuckDB oracle SQL.
+
+Conventions for oracle-hash stability:
+- every computed column aliased identically in Spark and SQL;
+- doubles rounded (sums r2, averages r4) — cross-engine summation-order
+  noise is ≪ the rounding step;
+- timestamps leave the query as ``unix_micros`` longs (Spark) ==
+  ``epoch_us`` (DuckDB), immune to session-timezone differences;
+- where a calendar rendering is required (q21) the session timezone is
+  pinned to UTC first.
+
+Reference parity notes are per-query docstring citations into
+/root/reference (the reference computes these shapes via Daft + pandas;
+here each is ONE Catalyst plan — no engine→Python→engine round trips,
+SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --- q01: multi-aggregate group-by (A2/A3; TPC-H Q1 shape) --------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """GroupBy two keys + 5 aggregates (reference analog:
+    ops/materialized_views.py:277-281 multi-agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: activity metrics (A4/M3 — ops/materialized_views.py:301-357) --------
+
+
+def q02_activity_metrics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q02_SQL = """
+SELECT event_type, count(*) AS n,
+       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --- q03: partition-prunable range filter (P4) --------------------------------
+
+
+def q03_range_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+Q03_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- q04: compound predicate + IN-list + null guard (P5/P6/P7) ----------------
+
+
+def q04_compound_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") > 150000)
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE o_orderstatus IN ('O','F') AND o_totalprice > 150000 AND o_orderpriority IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
+# --- q05: point lookup (P8 — agent/process_mining_queries.py:421,640) ---------
+
+
+def q05_point_lookup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    return li.filter(F.col("l_orderkey") == key).select(
+        "l_orderkey", "l_linenumber", "l_partkey", F.round("l_quantity", 2).alias("qty")
+    )
+
+
+Q05_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 2) AS qty
+FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
+# --- q06: fact-to-bridge inner equi-join (J1) ----------------------------------
+
+
+def q06_join_orders_lineitem(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- q07: filtered broadcast dim join (J3) -------------------------------------
+
+
+def q07_broadcast_dim_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+Q07_SQL = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 0
+GROUP BY n_name
+"""
+
+
+# --- q08: three-way join (J5 — analytics/process_discovery.py:229-230) ---------
+
+
+def q08_three_way_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+Q08_SQL = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- q09: global top-k (O1/A9) --------------------------------------------------
+
+
+def q09_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- q10: distinct (A6) ----------------------------------------------------------
+
+
+def q10_distinct_event_types(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+Q10_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# --- q11: exact percentiles (A7/A8 — agent/process_mining_queries.py:152-165) ----
+
+
+def q11_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 4).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ]
+    )
+
+
+Q11_SQL = """
+SELECT round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(quantile_cont(l_quantity, 0.90), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 4) AS p99
+FROM lineitem
+"""
+
+
+# --- q12: DFG transition matrix (W1/M2 — the flagship; replaces the
+#     reference's engine→Python pairing loop ops/materialized_views.py:234-267
+#     with a single window-lead plan) ---------------------------------------------
+
+
+def q12_dfg_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_activity"),
+        F.lead("event_type").over(w).alias("to_activity"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"),
+    ).filter(F.col("to_activity").isNotNull())
+    return pairs.groupBy("from_activity", "to_activity").agg(
+        F.count("*").alias("frequency"),
+        F.round(F.avg("gap_us") / 1e6, 3).alias("avg_gap_s"),
+    )
+
+
+Q12_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_activity,
+         lead(event_type) OVER w AS to_activity,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT from_activity, to_activity, count(*) AS frequency,
+       round(avg(gap_us) / 1e6, 3) AS avg_gap_s
+FROM pairs WHERE to_activity IS NOT NULL
+GROUP BY from_activity, to_activity
+"""
+
+
+# --- q13: sequence numbering (W2 — ingest/complete_ocel_loader.py:354-360) -------
+
+
+def q13_row_number(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id")
+    )
+
+
+Q13_SQL = """
+SELECT user_id, rn, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# --- q14: first/last per entity (W4 — agent/process_mining_queries.py:436-443) ---
+
+
+def q14_first_last(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", F.struct("ts_us", "event_id")).alias("first_event"),
+        F.max_by("event_id", F.struct("ts_us", "event_id")).alias("last_event"),
+        F.count("*").alias("n"),
+    )
+
+
+Q14_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+       count(*) OVER (PARTITION BY user_id) AS n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# --- q15: top-k inside group (W5) --------------------------------------------------
+
+
+def q15_topk_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("user_id", "rank", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+Q15_SQL = """
+SELECT user_id, rank, event_id, round(value, 2) AS value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE event_type = 'purchase'
+) WHERE rank <= 2
+"""
+
+
+# --- q16: process variants (W3/M4 — ops/materialized_views.py:389-408; strict
+#     ordering via sort_array(collect_list(struct)), SURVEY §7.3 hard part 2) ------
+
+
+def q16_variants(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    per_user = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            "->",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("pattern")
+    )
+    return per_user.groupBy("pattern").agg(F.count("*").alias("n_users"))
+
+
+Q16_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), per_user AS (
+  SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS pattern
+  FROM r WHERE rn <= 5 GROUP BY user_id
+)
+SELECT pattern, count(*) AS n_users FROM per_user GROUP BY pattern
+"""
+
+
+# --- q17: sessionization (gap > 30 min ⇒ new session) ------------------------------
+
+
+def q17_sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    return gaps.groupBy("user_id").agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("ts_us") - F.col("prev_us") > 1_800_000_000, 1).otherwise(0)
+            )
+        ).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+Q17_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       1 + sum(CASE WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --- q18: rollup (grouping sets) -----------------------------------------------------
+
+
+def q18_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+Q18_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+# --- q19: set ops (O4) -----------------------------------------------------------------
+
+
+def q19_set_ops(spark, sf_dir):
+    """EXCEPT over (user, calendar-day) granularity + INTERSECT count —
+    relational set ops the reference only approximates with Python sets
+    (agent/process_mining_queries.py:780-794)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast("long")
+    )
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id", "day").distinct()
+    error = ev.filter(F.col("event_type") == "error").select("user_id", "day").distinct()
+    return signup.subtract(error)
+
+
+Q19_SQL = """
+SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+FROM events WHERE event_type = 'error'
+"""
+
+
+# --- q20: JSON extraction (F6 — val_json pattern, complete_ocel_loader.py:88-90) -----
+
+
+def q20_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"))
+    )
+
+
+Q20_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+# --- q21: calendar derivation (F2 — event_month, daft_batch_ocel_loader.py:24-26) ----
+
+
+def q21_month_derivation(spark, sf_dir):
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_month", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM"))
+        .groupBy("event_month")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q21_SQL = """
+SELECT strftime(ts, '%Y-%m') AS event_month, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- q22: string similarity (F8 — levenshtein,
+#     agent/process_mining_queries.py:769-794) ----------------------------------------
+
+
+def q22_levenshtein(spark, sf_dir):
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_a")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_b")
+    )
+    return (
+        n1.join(n2, "rk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("rk", "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("lev"))
+    )
+
+
+Q22_SQL = """
+SELECT a.n_regionkey AS rk, a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS lev
+FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_activity_metrics": q02_activity_metrics,
+    "q03_range_filter": q03_range_filter,
+    "q04_compound_filter": q04_compound_filter,
+    "q05_point_lookup": q05_point_lookup,
+    "q06_join_orders_lineitem": q06_join_orders_lineitem,
+    "q07_broadcast_dim_join": q07_broadcast_dim_join,
+    "q08_three_way_join": q08_three_way_join,
+    "q09_topk_orders": q09_topk_orders,
+    "q10_distinct_event_types": q10_distinct_event_types,
+    "q11_percentiles": q11_percentiles,
+    "q12_dfg_transitions": q12_dfg_transitions,
+    "q13_row_number": q13_row_number,
+    "q14_first_last": q14_first_last,
+    "q15_topk_per_user": q15_topk_per_user,
+    "q16_variants": q16_variants,
+    "q17_sessionization": q17_sessionization,
+    "q18_rollup": q18_rollup,
+    "q19_set_ops": q19_set_ops,
+    "q20_json_extract": q20_json_extract,
+    "q21_month_derivation": q21_month_derivation,
+    "q22_levenshtein": q22_levenshtein,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_activity_metrics": Q02_SQL,
+    "q03_range_filter": Q03_SQL,
+    "q04_compound_filter": Q04_SQL,
+    "q05_point_lookup": Q05_SQL,
+    "q06_join_orders_lineitem": Q06_SQL,
+    "q07_broadcast_dim_join": Q07_SQL,
+    "q08_three_way_join": Q08_SQL,
+    "q09_topk_orders": Q09_SQL,
+    "q10_distinct_event_types": Q10_SQL,
+    "q11_percentiles": Q11_SQL,
+    "q12_dfg_transitions": Q12_SQL,
+    "q13_row_number": Q13_SQL,
+    "q14_first_last": Q14_SQL,
+    "q15_topk_per_user": Q15_SQL,
+    "q16_variants": Q16_SQL,
+    "q17_sessionization": Q17_SQL,
+    "q18_rollup": Q18_SQL,
+    "q19_set_ops": Q19_SQL,
+    "q20_json_extract": Q20_SQL,
+    "q21_month_derivation": Q21_SQL,
+    "q22_levenshtein": Q22_SQL,
+}

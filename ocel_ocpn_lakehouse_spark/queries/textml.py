@@ -1,0 +1,321 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+multimodal/image maintenance — over documents/embeddings testdata (plus an
+in-repo image-table demo). DuckDB oracles where cross-engine-expressible;
+MinHash/SimHash/LSH use engine-specific hashing → rows-only checks (noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as X
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- q23: exact dedup groups (hash-groupBy) ------------------------------------------
+
+
+def q23_dedup_exact(spark, sf_dir):
+    """Exact duplicate groups on the canonical fingerprint (empty result on
+    this corpus is itself the assertion: no exact dups) + prefix-group dups
+    to exercise the survivor policy on real groups."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    prefix_fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    return (
+        docs.select(F.col("doc_id"), prefix_fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+Q23_SQL = """
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id FROM (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(text), ' ')[1:5], ' ')) AS fp
+  FROM documents
+) GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# --- q24: n-gram Jaccard near-dup pairs ------------------------------------------------
+
+
+def q24_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+Q24_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+"""
+
+
+# --- q25: MinHash LSH candidates (xxhash64 is Spark-side → rows-only check) -----------
+
+
+def q25_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+# --- q26: SimHash near-dups (xxhash64-based → rows-only check) -------------------------
+
+
+def q26_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+# --- q27: exact ANN — brute-force cosine top-k -----------------------------------------
+
+
+def q27_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+Q27_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- q28: LSH-bucketed ANN (approximate, scale path → rows-only check) ------------------
+
+
+def q28_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+# --- q29: text quality + language heuristic ----------------------------------------------
+
+
+def q29_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.stopword_count(F.col("text")).alias("n_stop"),
+        F.round(X.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        X.quality_score(F.col("text")).cast("double").alias("quality"),
+        X.lang_guess(F.col("text")).alias("lang_pred"),
+    )
+
+
+_STOP_LIST_SQL = "['the','a','of','and','to','in','is','it']"
+
+Q29_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g')) AS n_alnum
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop,
+         CASE WHEN n_chars > 0 THEN (n_chars - n_alnum) * 1.0 / n_chars ELSE 0 END AS punct
+  FROM feats
+)
+SELECT doc_id, n_tokens, n_stop,
+       round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 4) AS stop_ratio,
+       CAST(CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40.0 WHEN n_tokens >= 5 THEN 20.0 ELSE 0.0 END
+        + CASE WHEN n_tokens > 0 AND n_stop * 1.0 / n_tokens BETWEEN 0.02 AND 0.6 THEN 30.0 ELSE 10.0 END
+        + CASE WHEN punct <= 0.2 THEN 30.0 ELSE 5.0 END AS DOUBLE) AS quality,
+       CASE WHEN n_tokens > 0 AND n_stop * 1.0 / n_tokens >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
+FROM d
+"""
+
+
+# --- q30: fingerprint + token counting ----------------------------------------------------
+
+
+def q30_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+Q30_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+FROM documents
+"""
+
+
+# --- q31: histogram buckets (A10 analog) ----------------------------------------------------
+
+
+def q31_doc_length_hist(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    return docs.withColumn("bucket", bucket).groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+Q31_SQL = """
+SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
+       count(*) AS n, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# --- q32: embedding norm stats per label ------------------------------------------------------
+
+
+def q32_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
+Q32_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --- q33: image-table maintenance demo (engine-native → rows-only check) --------------------
+
+
+def q33_image_maintenance(spark, sf_dir):
+    """End-to-end north-rule pipeline at smoke scale: synth fragmented
+    image table → compact → cluster → scan-equivalence flags. Returns one
+    row per maintenance op with before/after file counts and an
+    equivalence bit (engine-native table format → no SQL oracle)."""
+    import tempfile
+
+    from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
+    from ..images.synth import IMAGE_SCHEMA, synth_images_df
+    from ..maintenance.checkpoint import SystemTables
+    from ..maintenance.cluster import execute_cluster
+    from ..maintenance.compact import execute_compaction
+    from ..maintenance.quality import quality_report
+
+    wh = tempfile.mkdtemp(prefix="imgdemo_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(1024 * 1024),
+                "compact.small-file-bytes": str(256 * 1024),
+            },
+        ),
+    )
+    t.append(synth_images_df(spark, n_rows=96, seed=42), num_files=6, distribution="fragment")
+    st = SystemTables(cat.warehouse)
+
+    def checksum():
+        return (
+            t.scan(spark)
+            .agg(F.sum(F.xxhash64(F.md5("bytes")).cast("decimal(38,0)")), F.count("*"))
+            .first()
+        )
+
+    base = checksum()
+    rows = []
+    fb = len(t.live_entries())
+    execute_compaction(spark, t, st, "ocel.images")
+    t.refresh()
+    rows.append(("compact", fb, len(t.live_entries()), int(checksum() == base)))
+    fb = len(t.live_entries())
+    execute_cluster(spark, t, st, "ocel.images", curve="zorder")
+    t.refresh()
+    rows.append(("cluster", fb, len(t.live_entries()), int(checksum() == base)))
+    q = quality_report(t.scan(spark))
+    rows.append(("quality_gate", q["rows"], q["score"], int(q["passed"])))
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "op string, before long, after long, ok int"
+    )
+
+
+QUERIES = {
+    "q23_dedup_exact": q23_dedup_exact,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_minhash_lsh": q25_minhash_lsh,
+    "q26_simhash": q26_simhash,
+    "q27_ann_cosine_topk": q27_ann_cosine_topk,
+    "q28_ann_lsh": q28_ann_lsh,
+    "q29_text_quality": q29_text_quality,
+    "q30_fingerprint": q30_fingerprint,
+    "q31_doc_length_hist": q31_doc_length_hist,
+    "q32_embedding_norms": q32_embedding_norms,
+    "q33_image_maintenance": q33_image_maintenance,
+}
+
+ORACLES = {
+    "q23_dedup_exact": Q23_SQL,
+    "q24_ngram_jaccard": Q24_SQL,
+    "q27_ann_cosine_topk": Q27_SQL,
+    "q29_text_quality": Q29_SQL,
+    "q30_fingerprint": Q30_SQL,
+    "q31_doc_length_hist": Q31_SQL,
+    "q32_embedding_norms": Q32_SQL,
+}
