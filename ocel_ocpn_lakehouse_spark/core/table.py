@@ -328,7 +328,9 @@ class Table:
         entries = self.write_data_files(df, num_files=num_files, distribution=distribution)
         return self.commit_append(entries)
 
-    def commit_append(self, entries: list[mf.ManifestEntry]) -> meta.Snapshot:
+    def commit_append(
+        self, entries: list[mf.ManifestEntry], extra_summary: dict | None = None
+    ) -> meta.Snapshot:
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1
             for e in entries:
@@ -336,15 +338,14 @@ class Table:
             name = mf.write_manifest(self.metadata_dir, entries, seq)
             parent = md.current_snapshot()
             manifest_list = (parent.manifests if parent else []) + [name]
-            return md.new_snapshot(
-                "append",
-                manifest_list,
-                {
-                    "added-files": len(entries),
-                    "added-records": sum(e.record_count for e in entries),
-                    "added-bytes": sum(e.size_bytes for e in entries),
-                },
-            )
+            summary = {
+                "added-files": len(entries),
+                "added-records": sum(e.record_count for e in entries),
+                "added-bytes": sum(e.size_bytes for e in entries),
+            }
+            if extra_summary:
+                summary.update(extra_summary)
+            return md.new_snapshot("append", manifest_list, summary)
 
         return self._commit(build)
 

@@ -1,0 +1,64 @@
+"""Exactly-once streaming append into an engine table.
+
+``foreachBatch`` may replay a batch after a crash (Structured Streaming
+guarantees at-least-once delivery to the sink); idempotence comes from
+recording the stream epoch id in the snapshot summary and skipping
+epochs that already committed — the same guard the maintenance engine
+uses for file groups (north rule: resume without re-committing
+snapshots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..core.table import Table
+
+
+def _committed_epochs(table: Table, stream_id: str) -> set[int]:
+    out = set()
+    for s in table.snapshots():
+        if s.summary.get("stream-id") == stream_id and "stream-epoch" in s.summary:
+            out.add(int(s.summary["stream-epoch"]))
+    return out
+
+
+def stream_append(
+    spark: SparkSession,
+    table: Table,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    stream_id: str = "default",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drain all available files from source_dir into the table
+    (trigger=availableNow), one snapshot per micro-batch, exactly-once.
+    Returns the number of batches committed this run."""
+    committed = {"n": 0}
+
+    def sink(batch_df, epoch_id: int) -> None:
+        table.refresh()
+        if epoch_id in _committed_epochs(table, stream_id):
+            return  # replayed batch after restart — already committed
+        if batch_df.isEmpty():
+            return
+        entries = table.write_data_files(batch_df)
+        table.commit_append(
+            entries, extra_summary={"stream-id": stream_id, "stream-epoch": int(epoch_id)}
+        )
+        committed["n"] += 1
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed["n"]

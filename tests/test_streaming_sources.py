@@ -1,0 +1,86 @@
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, TableSpec
+from ocel_ocpn_lakehouse_spark.sources import load_ocel_json
+from ocel_ocpn_lakehouse_spark.streaming import stream_append
+
+
+def test_stream_append_exactly_once(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = "id long, v string"
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = cat.create_table("ns.stream", st)
+
+    spark.range(0, 50).select("id", F.lit("a").alias("v")).write.mode("overwrite").parquet(
+        str(src / "batch1")
+    )
+    n1 = stream_append(spark, t, str(src / "*"), st, ckpt, stream_id="s1")
+    assert n1 >= 1
+    assert t.refresh().scan(spark).count() == 50
+
+    # drain again with nothing new → no new snapshots
+    snaps = len(t.snapshots())
+    stream_append(spark, t, str(src / "*"), st, ckpt, stream_id="s1")
+    assert len(t.refresh().snapshots()) == snaps
+
+    # second batch arrives → only the delta is appended
+    spark.range(100, 130).select("id", F.lit("b").alias("v")).write.mode("overwrite").parquet(
+        str(src / "batch2")
+    )
+    stream_append(spark, t, str(src / "*"), st, ckpt, stream_id="s1")
+    assert t.refresh().scan(spark).count() == 80
+    # epoch guard: every committed snapshot has a distinct epoch
+    epochs = [s.summary.get("stream-epoch") for s in t.snapshots() if "stream-epoch" in s.summary]
+    assert len(epochs) == len(set(epochs))
+
+
+def test_ocel_json_source(spark, tmp_path):
+    doc = {
+        "events": [
+            {
+                "id": "e1",
+                "type": "create_order",
+                "time": "2024-01-05T10:00:00",
+                "attributes": [
+                    {"name": "amount", "value": 12.5},
+                    {"name": "priority", "value": "high"},
+                    {"name": "items", "value": 3},
+                    {"name": "express", "value": True},
+                ],
+                "relationships": [
+                    {"objectId": "o1", "qualifier": "order"},
+                    {"objectId": "o2", "qualifier": "customer"},
+                ],
+            },
+            {"id": "e2", "type": "ship_order", "time": "2024-02-01T08:30:00"},
+        ],
+        "objects": [
+            {"id": "o1", "type": "order"},
+            {"id": "o2", "type": "customer"},
+        ],
+    }
+    p = tmp_path / "log.json"
+    p.write_text(json.dumps(doc))
+    tables = load_ocel_json(spark, str(p))
+
+    ev = {r["id"]: r for r in tables["events"].collect()}
+    assert set(ev) == {"e1", "e2"}
+    assert ev["e1"]["event_month"] == "2024-01"
+    assert tables["event_objects"].count() == 2
+    attrs = {r["name"]: r for r in tables["event_attributes"].collect()}
+    # EAV dispatch: double / string / long / boolean (bool-before-long)
+    assert attrs["amount"]["val_type"] == "double" and attrs["amount"]["val_double"] == 12.5
+    assert attrs["priority"]["val_type"] == "string"
+    assert attrs["items"]["val_type"] == "long" and attrs["items"]["val_long"] == 3
+    assert attrs["express"]["val_type"] == "boolean" and attrs["express"]["val_boolean"] is True
+    assert tables["objects"].count() == 2

@@ -1,0 +1,156 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs the SAME maintenance job — compact + Z-order cluster + full
+scan-equivalence verify (decode-level) — on the SAME deterministic input
+at two parallelism levels (default local[8] vs local[32]) in separate
+processes, and writes BENCH/BASELINE.md with throughput at both plus the
+scaling efficiency.
+
+Usage:  python tools/scaling_bench.py [rows] [n_small] [n_large]
+Child:  python tools/scaling_bench.py --child <cpus> <rows>  (prints JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, rows: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, SortOrder, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA, synth_images_df
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+    from ocel_ocpn_lakehouse_spark.maintenance.verify import (
+        verify_checksum_equivalence,
+        verify_decode_phash,
+    )
+    from ocel_ocpn_lakehouse_spark.session import get_spark
+
+    spark = get_spark("scaling-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    wh = tempfile.mkdtemp(prefix=f"scale_wh_{cpus}_")
+    try:
+        cat = Catalog(wh)
+        t = cat.create_table(
+            "bench.images",
+            IMAGE_SCHEMA,
+            TableSpec(
+                partition_spec=PartitionSpec.bucket("image_id", 16),
+                sort_order=SortOrder.by("phash"),
+                properties={
+                    "write.target-file-size-bytes": str(64 * 1024 * 1024),
+                    "compact.small-file-bytes": str(16 * 1024 * 1024),
+                },
+            ),
+        )
+        t.append(
+            synth_images_df(spark, n_rows=rows, seed=42, parallelism=cpus * 4),
+            num_files=max(16, rows // 2000),
+            distribution="fragment",
+        )
+        pre_snap = t.current_snapshot().snapshot_id
+        total_bytes = sum(e.size_bytes for e in t.live_entries())
+        st = SystemTables(cat.warehouse)
+
+        t0 = time.time()
+        execute_compaction(spark, t, st, "bench.images")
+        t.refresh()
+        execute_cluster(spark, t, st, "bench.images", curve="zorder")
+        t.refresh()
+        t_rewrite = time.time() - t0
+
+        v1 = verify_checksum_equivalence(spark, t, pre_snap)
+        v2 = verify_decode_phash(spark, t)
+        t_total = time.time() - t0
+
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "rows": rows,
+                    "bytes": total_bytes,
+                    "rewrite_sec": round(t_rewrite, 3),
+                    "total_sec": round(t_total, 3),
+                    "images_per_sec": round(rows / t_total, 1),
+                    "gb_per_sec": round(total_bytes / t_total / 1e9, 4),
+                    "equivalence_pass": bool(v1["passed"] and v2["passed"]),
+                    "pass_rate": v1["pass_rate"],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def run_child(cpus: int, rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(rows)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"child {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+        return 0
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    small = run_child(n_small, rows)
+    large = run_child(n_large, rows)
+    speedup = large["images_per_sec"] / small["images_per_sec"]
+    efficiency = speedup / (n_large / n_small)
+
+    md = f"""# BENCH — two-cluster-size scaling evidence
+
+North-rule criterion: ≥0.8 compaction-throughput scaling efficiency from
+N to 4N executors, evidenced in-sandbox at two local parallelism levels
+on identical deterministic input (driver instruction; real-cluster
+equivalent is executor count).
+
+Job measured: bin-packing compaction + Z-order cluster rewrite + full
+scan-equivalence verification (caption/bytes equality + decode-level
+phash integrity over every image) — the complete maintenance pass T11.
+
+| config | rows | input bytes | rewrite s | total s | images/s | GB/s | equivalence |
+|---|---|---|---|---|---|---|---|
+| local[{n_small}] | {small['rows']} | {small['bytes']} | {small['rewrite_sec']} | {small['total_sec']} | {small['images_per_sec']} | {small['gb_per_sec']} | {'100%' if small['equivalence_pass'] else 'FAIL'} |
+| local[{n_large}] | {large['rows']} | {large['bytes']} | {large['rewrite_sec']} | {large['total_sec']} | {large['images_per_sec']} | {large['gb_per_sec']} | {'100%' if large['equivalence_pass'] else 'FAIL'} |
+
+- speedup {n_small}→{n_large} cores: **{speedup:.2f}×** (ideal {n_large // n_small}×)
+- scaling efficiency: **{efficiency:.2f}**
+
+Notes: single-machine local mode shares one OS page cache and disk; the
+measured job is CPU-dominated (codec + hash + shuffle serde) per
+SURVEY.md §7.3(6) so the two points honestly proxy executor scaling.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"small": small, "large": large, "speedup": round(speedup, 3),
+                      "efficiency": round(efficiency, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
