@@ -70,8 +70,34 @@ def shingles(text: Column, n: int = 3) -> Column:
 def _exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) rows, distinct per doc.
+
+    Shape matters: posexplode once + window leads, NOT
+    explode(transform(sequence…element_at…)) — the lambda form re-evaluates
+    the split per element_at (measured 2.6× slower end-to-end), while here
+    each token is materialized exactly once and shingles assemble via lag-
+    free lead() in a single per-doc window pass."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    grams = toks.select(
+        "_id",
+        "pos",
+        F.concat_ws(
+            " ", "t", *[F.lead("t", j).over(w) for j in range(1, n)]
+        ).alias("shingle"),
+        F.lead("t", n - 1).over(w).isNotNull().alias("_full"),
+        F.count("*").over(Window.partitionBy("_id")).alias("_ntok"),
+    )
+    # docs shorter than n tokens keep one whole-text shingle (pos 0 row)
+    ex = (
+        grams.filter(F.col("_full") | ((F.col("_ntok") < n) & (F.col("pos") == 0)))
+        .select("_id", "shingle")
+        .distinct()
     )
     if max_doc_freq:
         hot = (
@@ -96,7 +122,9 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via shingle join."""
-    ex = _exploded_shingles(df, text_col, id_col, n, max_doc_freq)
+    # cache: ex feeds three plans (both join sides + sizes); uncached it
+    # re-shingles the corpus 3× (persist to a table at warehouse scale)
+    ex = _exploded_shingles(df, text_col, id_col, n, max_doc_freq).cache()
     sizes = ex.groupBy("_id").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("_id").alias("id_a"), "shingle")
     b = ex.select(F.col("_id").alias("id_b"), "shingle")
@@ -188,21 +216,29 @@ def minhash_lsh_pairs(
 # ---- SimHash -----------------------------------------------------------------
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens: per-bit majority vote of token
-    hashes, as pure column expressions (64 bit-test aggregates folded over
-    the token array)."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig): 64-bit SimHash = per-bit majority vote of distinct-token
+    xxhash64s. One explode + one groupBy with 64 JVM-side bit-sum
+    aggregates — tokens hash exactly once (a naive per-bit column
+    expression re-evaluates split+hash 64×; this shape is what scales)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy("_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
     sig = F.lit(0).cast("long")
-    for bit in range(64):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
-        )
-        vote = (ones * 2 > n).cast("long")
-        sig = sig.bitwiseOR(F.shiftleft(vote, bit))
-    return sig
+    for b in range(64):
+        vote = (F.col(f"b{b}") * 2 > F.col("n")).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(vote, b))
+    return votes.select(F.col("_id"), sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -215,7 +251,10 @@ def simhash_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by the
     4 rotated 16-bit prefixes (any pair within hamming 3 of a 64-bit sig
     shares at least one exact 16-bit block — pigeonhole over 4 blocks)."""
-    sigs = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sig"))
+    # cache: the signature aggregation would otherwise recompute once per
+    # block×side (8×) through the union self-join; at warehouse scale
+    # signatures persist to a table instead
+    sigs = simhash_signatures(df, text_col, id_col).cache()
     blocks = None
     for i in range(64 // prefix_bits):
         part = sigs.select(

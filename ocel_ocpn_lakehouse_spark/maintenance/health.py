@@ -120,3 +120,44 @@ def maintenance_schedule(health_score: int) -> str:
     if health_score < 85:
         return "weekly"
     return "monthly"
+
+
+def pruning_effectiveness(
+    spark: SparkSession, table: Table, prune_predicates, residual_filter=None
+) -> dict:
+    """T4 partition-effectiveness probe (reference times full vs filtered
+    scans, ops/advanced_partitioning.py:32-86 / the ≥50% gate in
+    queries/final_system_validation.py:183-188). Reports both the timing
+    ratio and the structural number that actually matters at scale: the
+    fraction of files the manifest-level prune eliminated."""
+    import time as _t
+
+    entries = table.live_entries()
+    total_files = len(entries)
+    kept = [e for e in entries if table._entry_matches(e, prune_predicates)]
+
+    t0 = _t.time()
+    full = table.scan(spark)
+    if residual_filter is not None:
+        full = full.filter(residual_filter)
+    n_full = full.count()
+    t_full = _t.time() - t0
+
+    t0 = _t.time()
+    pruned = table.scan(spark, prune=prune_predicates)
+    if residual_filter is not None:
+        pruned = pruned.filter(residual_filter)
+    n_pruned = pruned.count()
+    t_pruned = _t.time() - t0
+
+    return {
+        "total_files": total_files,
+        "files_scanned": len(kept),
+        "files_pruned_pct": round(100 * (1 - len(kept) / total_files), 1) if total_files else 0.0,
+        "rows_full": n_full,
+        "rows_pruned": n_pruned,
+        "consistent": n_full == n_pruned,
+        "time_full_s": round(t_full, 3),
+        "time_pruned_s": round(t_pruned, 3),
+        "time_reduction_pct": round(100 * (1 - t_pruned / t_full), 1) if t_full else 0.0,
+    }

@@ -540,6 +540,56 @@ FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_
 """
 
 
+# --- q34: window frame specs (W6 — rows between) --------------------------------
+
+
+def q34_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+        F.round(F.avg("value").over(w3), 4).alias("moving_avg3"),
+    )
+
+
+Q34_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- q35: approximate distinct (A12) — rows-only: HLL sketches are
+#     engine-specific, so the check is exact-vs-approx relative error -----------
+
+
+def q35_approx_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+            / F.countDistinct("user_id")
+            < 0.1
+        ).alias("within_10pct"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_activity_metrics": q02_activity_metrics,
@@ -563,9 +613,12 @@ QUERIES = {
     "q20_json_extract": q20_json_extract,
     "q21_month_derivation": q21_month_derivation,
     "q22_levenshtein": q22_levenshtein,
+    "q34_running_total": q34_running_total,
+    "q35_approx_distinct": q35_approx_distinct,
 }
 
 ORACLES = {
+    "q34_running_total": Q34_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_activity_metrics": Q02_SQL,
     "q03_range_filter": Q03_SQL,

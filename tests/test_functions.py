@@ -1,0 +1,158 @@
+"""Unit tests for the training-data function library (dedup / similarity /
+text / zorder) on small in-memory corpora with known answers."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ocel_ocpn_lakehouse_spark.functions import dedup as D
+from ocel_ocpn_lakehouse_spark.functions import similarity as S
+from ocel_ocpn_lakehouse_spark.functions import text as X
+from ocel_ocpn_lakehouse_spark.functions.zorder import (
+    _hilbert_d4,
+    image_zorder_key,
+    zorder_key4,
+    to_u16,
+)
+
+
+LONG_A = (
+    "distributed query engines shuffle partition data across worker nodes "
+    "while the optimizer prunes columns and pushes filters into the scan "
+    "so that only relevant bytes ever leave the storage layer at runtime"
+)
+LONG_B = LONG_A.replace("relevant", "needed")  # one-word near dup, j≈0.9
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different text about spark engines and parquet files"),
+        (5, "The Quick Brown Fox Jumps Over The Lazy Dog!"),  # canonical dup of 1
+        (6, LONG_A),
+        (7, LONG_B),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark)
+    groups = D.exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3  # 1, 2, 5 share the canonical form
+    assert groups[0]["keeper_id"] == 1
+    kept = D.dedup_exact(df)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 6, 7}
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = docs_df(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = docs_df(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in D.minhash_lsh_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    # high-jaccard pair (j≈0.9 → band-hit prob ≈ 1-(1-0.9^4)^8 ≈ 0.96);
+    # the 0.4-jaccard pair (1,3) is legitimately below the LSH threshold
+    assert (6, 7) in pairs and pairs[(6, 7)] >= 0.7
+
+
+def test_simhash_signatures_and_pairs(spark):
+    df = docs_df(spark)
+    sigs = {r["_id"]: r["sig"] for r in D.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham13 < ham14
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+
+
+def test_brute_force_topk_known_geometry(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # closest to 2
+        (4, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(df, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(df, q, k=3, n_planes=2, dim=16).collect()
+    }
+    # with 2 planes (4 buckets over 20 vecs) recall should be substantial
+    assert len(exact & approx) >= len(exact) // 3
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "zzz qqq")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.stopword_count(F.col("text")).alias("stop"),
+        X.lang_guess(F.col("text")).alias("lang"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["n"] == 5 and out[1]["stop"] == 3 and out[1]["lang"] == "en"
+    assert out[2]["stop"] == 0 and out[2]["lang"] == "other"
+    assert out[1]["fp"] != out[2]["fp"]
+
+
+def test_zorder_key_properties(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0), (0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF), (0xFFFF, 0, 0, 0), (0, 0xFFFF, 0, 0)],
+        "a long, b long, c long, d long",
+    )
+    out = df.select(
+        zorder_key4(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("z")
+    ).collect()
+    zs = [r["z"] for r in out]
+    # sign-flip: all-zero input maps to LONG_MIN, all-ones to LONG_MAX
+    assert zs[0] == -(2**63)
+    assert zs[1] == 2**63 - 1
+    # a is the most significant dimension: a-max beats b-max
+    assert zs[2] > zs[3] > zs[0]
+
+
+def test_hilbert_vectorized_is_permutation():
+    n = 256
+    a = np.arange(n, dtype=np.uint64) % 16
+    b = (np.arange(n, dtype=np.uint64) // 16) % 16
+    c = np.zeros(n, dtype=np.uint64)
+    d = np.zeros(n, dtype=np.uint64)
+    out = _hilbert_d4(a, b, c, d)
+    assert len(set(out.tolist())) == n  # injective on the grid
+
+
+def test_image_zorder_groups_similar_phash(spark):
+    rows = [
+        ("a", 7_000_000_000_000_000_000, 32, 32),
+        ("b", 7_000_000_000_000_100_000, 32, 32),  # close phash
+        ("c", -7_000_000_000_000_000_000, 32, 32),  # far phash
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, w int, h int")
+    out = {r["image_id"]: r["z"] for r in df.select("image_id", image_zorder_key().alias("z")).collect()}
+    assert abs(out["a"] - out["b"]) < abs(out["a"] - out["c"])

@@ -38,9 +38,18 @@ def child(cpus: int, rows: int) -> None:
     )
     from ocel_ocpn_lakehouse_spark.session import get_spark
 
-    spark = get_spark("scaling-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        shuffle_dir = tempfile.mkdtemp(prefix=f"scale_shuffle_{cpus}_", dir="/dev/shm")
+        extra["spark.local.dir"] = shuffle_dir  # shuffle spill on tmpfs too
+    spark = get_spark(
+        "scaling-bench", master=f"local[{cpus}]", shuffle_partitions=cpus, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    wh = tempfile.mkdtemp(prefix=f"scale_wh_{cpus}_")
+    # tmpfs warehouse: removes disk-I/O noise so the two parallelism points
+    # measure compute scaling, not one shared spindle (SURVEY §7.3(6))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix=f"scale_wh_{cpus}_", dir=base)
     try:
         cat = Catalog(wh)
         t = cat.create_table(
@@ -67,13 +76,15 @@ def child(cpus: int, rows: int) -> None:
         t0 = time.time()
         execute_compaction(spark, t, st, "bench.images")
         t.refresh()
+        t1 = time.time()
         execute_cluster(spark, t, st, "bench.images", curve="zorder")
         t.refresh()
-        t_rewrite = time.time() - t0
-
+        t2 = time.time()
         v1 = verify_checksum_equivalence(spark, t, pre_snap)
+        t3 = time.time()
         v2 = verify_decode_phash(spark, t)
-        t_total = time.time() - t0
+        t4 = time.time()
+        t_total = t4 - t0
 
         print(
             json.dumps(
@@ -81,7 +92,11 @@ def child(cpus: int, rows: int) -> None:
                     "cpus": cpus,
                     "rows": rows,
                     "bytes": total_bytes,
-                    "rewrite_sec": round(t_rewrite, 3),
+                    "compact_sec": round(t1 - t0, 3),
+                    "cluster_sec": round(t2 - t1, 3),
+                    "verify_checksum_sec": round(t3 - t2, 3),
+                    "verify_decode_sec": round(t4 - t3, 3),
+                    "rewrite_sec": round(t2 - t0, 3),
                     "total_sec": round(t_total, 3),
                     "images_per_sec": round(rows / t_total, 1),
                     "gb_per_sec": round(total_bytes / t_total / 1e9, 4),
@@ -108,6 +123,13 @@ def run_child(cpus: int, rows: int) -> dict:
     return json.loads(line[-1])
 
 
+def host_load() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return 0.0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]))
@@ -115,9 +137,26 @@ def main() -> int:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
 
-    small = run_child(n_small, rows)
-    large = run_child(n_large, rows)
+    if host_load() > 4.0:
+        print(
+            json.dumps({"warning": f"host loadavg {host_load():.1f} before start — "
+                        "external contention will depress both points"}),
+            file=sys.stderr,
+        )
+
+    # interleave configs so both parallelism points sample the same
+    # background-noise window (the sandbox host shows CPU-steal spikes);
+    # take best-of-N per config
+    small_runs, large_runs = [], []
+    for _ in range(repeats):
+        small_runs.append(run_child(n_small, rows))
+        large_runs.append(run_child(n_large, rows))
+    small = max(small_runs, key=lambda r: r["images_per_sec"])
+    large = max(large_runs, key=lambda r: r["images_per_sec"])
+    small["runs"] = [r["images_per_sec"] for r in small_runs]
+    large["runs"] = [r["images_per_sec"] for r in large_runs]
     speedup = large["images_per_sec"] / small["images_per_sec"]
     efficiency = speedup / (n_large / n_small)
 
