@@ -130,6 +130,18 @@ def host_load() -> float:
         return 0.0
 
 
+def wait_for_quiet(threshold: float = 3.0, timeout_s: int = 900) -> float:
+    """Block until the host 1-min loadavg drops below threshold (the
+    sandbox host shows external CPU-steal spikes that invert scaling
+    measurements); give up after timeout and measure anyway."""
+    t0 = time.time()
+    load = host_load()
+    while load > threshold and time.time() - t0 < timeout_s:
+        time.sleep(15)
+        load = host_load()
+    return load
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]))
@@ -151,7 +163,9 @@ def main() -> int:
     # take best-of-N per config
     small_runs, large_runs = [], []
     for _ in range(repeats):
+        wait_for_quiet()
         small_runs.append(run_child(n_small, rows))
+        wait_for_quiet()
         large_runs.append(run_child(n_large, rows))
     small = max(small_runs, key=lambda r: r["images_per_sec"])
     large = max(large_runs, key=lambda r: r["images_per_sec"])
