@@ -259,7 +259,11 @@ class Table:
         return self.publish_staged(spark, staging)
 
     def publish_staged(
-        self, spark: SparkSession, staging: str, stats_columns: set[str] | None = None
+        self,
+        spark: SparkSession,
+        staging: str,
+        stats_columns: set[str] | None = None,
+        drop_partition_keys: set[str] | None = None,
     ) -> list[mf.ManifestEntry]:
         """Phase-1b: move staged Parquet into data/ and build entries with
         distributed footer stats. Idempotent w.r.t. crash-before-commit:
@@ -274,6 +278,8 @@ class Table:
                 for part in rel.split(os.sep):
                     if "=" in part:
                         k, v = part.split("=", 1)
+                        if drop_partition_keys and k in drop_partition_keys:
+                            continue  # physical sub-split, not a spec partition
                         partition[k] = _parse_partition_value(v)
             for fn in filenames:
                 if not fn.endswith(".parquet"):

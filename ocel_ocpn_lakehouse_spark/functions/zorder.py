@@ -61,19 +61,55 @@ def zorder_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
     return z.bitwiseXOR(F.lit(_LONG_SIGN_FLIP))
 
 
+def _spread3(col: Column) -> Column:
+    """Spread low 16 bits so bit i lands at position 3*i (Part1By2 masks,
+    valid for up to 21 input bits)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 32))).bitwiseAND(F.lit(0x001F00000000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x001F0000FF0000FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
+def zorder_key3_salted(a: Column, b: Column, c: Column, salt: Column) -> Column:
+    """48-bit Morton interleave of three 16-bit columns (a most
+    significant) with a 16-bit salt as the LOW-ORDER suffix.
+
+    Why the salt is a suffix and not a fourth interleave dimension: when
+    the leading dimension's top bits have low entropy (real phash corpora
+    concentrate), an interleaved salt's high bits outrank every
+    informative key bit and range boundaries end up splitting on salt —
+    per-file phash bounds stay full-width and pruning dies. As a suffix
+    the salt only breaks ties WITHIN identical (a,b,c) cells, which is
+    exactly the hot-spot case: quantile boundaries can still fall inside
+    a hot cell and spread it over several files/tasks (north rule:
+    "salting for phash hot-spots") while every split above tie level
+    follows the data columns."""
+    z3 = (
+        F.shiftleft(_spread3(a), 2)
+        .bitwiseOR(F.shiftleft(_spread3(b), 1))
+        .bitwiseOR(_spread3(c))
+    )
+    return F.shiftleft(z3, 16).bitwiseOR(salt.bitwiseAND(F.lit(0xFFFF))).bitwiseXOR(
+        F.lit(_LONG_SIGN_FLIP)
+    )
+
+
 def image_zorder_key(
     phash: Column | str = "phash",
     w: Column | str = "w",
     h: Column | str = "h",
     image_id: Column | str = "image_id",
 ) -> Column:
-    """The north-rule clustering key: interleave of
-    (phash top16, w, h, xxhash64(image_id) top16)."""
+    """The north-rule clustering key over (phash, w, h, xxhash64(image_id)):
+    3-way interleave of the data columns + id-hash salt suffix."""
     phash = F.col(phash) if isinstance(phash, str) else phash
     w = F.col(w) if isinstance(w, str) else w
     h = F.col(h) if isinstance(h, str) else h
     image_id = F.col(image_id) if isinstance(image_id, str) else image_id
-    return zorder_key4(
+    return zorder_key3_salted(
         to_u16(phash, 64),
         to_u16(w.cast("long"), 16),
         to_u16(h.cast("long"), 16),
@@ -84,13 +120,13 @@ def image_zorder_key(
 # ---- Hilbert variant ---------------------------------------------------------
 
 
-def _hilbert_d4(a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray) -> np.ndarray:
-    """Skilling's transpose→Hilbert for 4 dims × 16 bits, vectorized.
+def _hilbert_d(axes: list[np.ndarray], bits: int = 16) -> np.ndarray:
+    """Skilling's transpose→Hilbert for len(axes) dims × `bits`, vectorized.
 
-    Input: uint64 arrays with values < 2^16. Output: uint64 Hilbert index.
+    Input: uint64 arrays with values < 2^bits. Output: uint64 Hilbert index.
     """
-    n, bits = 4, 16
-    X = np.stack([a, b, c, d]).astype(np.uint64)  # (4, N)
+    n = len(axes)
+    X = np.stack(axes).astype(np.uint64)  # (n, N)
     M = np.uint64(1) << np.uint64(bits - 1)
     # Inverse undo excess work (Skilling 2004, public-domain algorithm)
     Q = M
@@ -124,10 +160,19 @@ def _hilbert_d4(a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray) -> n
 
 @F.pandas_udf(T.LongType())
 def _hilbert4_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
-    res = _hilbert_d4(
-        a.to_numpy(np.uint64), b.to_numpy(np.uint64), c.to_numpy(np.uint64), d.to_numpy(np.uint64)
+    res = _hilbert_d(
+        [a.to_numpy(np.uint64), b.to_numpy(np.uint64), c.to_numpy(np.uint64), d.to_numpy(np.uint64)]
     )
     return pd.Series((res ^ np.uint64(1 << 63)).astype(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def _hilbert3_salted_udf(a: pd.Series, b: pd.Series, c: pd.Series, salt: pd.Series) -> pd.Series:
+    res = _hilbert_d(
+        [a.to_numpy(np.uint64), b.to_numpy(np.uint64), c.to_numpy(np.uint64)]
+    )  # 48-bit index
+    out = (res << np.uint64(16)) | (salt.to_numpy(np.uint64) & np.uint64(0xFFFF))
+    return pd.Series((out ^ np.uint64(1 << 63)).astype(np.int64))
 
 
 def hilbert_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
@@ -136,7 +181,10 @@ def hilbert_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
 
 
 def image_hilbert_key() -> Column:
-    return hilbert_key4(
+    """Hilbert analog of image_zorder_key: 3-D curve over (phash, w, h)
+    with the id-hash salt as low-order suffix (same rationale as
+    zorder_key3_salted)."""
+    return _hilbert3_salted_udf(
         to_u16(F.col("phash"), 64),
         to_u16(F.col("w").cast("long"), 16),
         to_u16(F.col("h").cast("long"), 16),

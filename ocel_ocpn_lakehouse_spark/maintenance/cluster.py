@@ -81,17 +81,81 @@ def execute_cluster(
         [e.path for e in entries], rows=total_records, nbytes=total_bytes,
     )
 
+    # --- range boundaries WITHOUT repartitionByRange -----------------------
+    # repartitionByRange samples the full-width shuffle input — on an image
+    # table that is a second complete read of every payload byte. Instead:
+    # per-partition zkey quantiles from a KEY-ONLY scan (column pruning
+    # keeps bytes out of it), then a hash shuffle on the precomputed range
+    # bucket. Output file count per partition = ceil(partition_bytes /
+    # target) (the reference's sizing formula, ops/maintenance_system.py:139).
+    key_inputs = sorted(
+        {c for c in ("phash", "w", "h", "image_id") if c in table.schema.fieldNames()}
+    ) or [f.column for f in table.sort_order.fields]
+    key_df = table.scan(spark, columns=list(key_inputs)).withColumn(ZKEY_COL, key_column)
+    for f in spec.fields:
+        key_df = key_df.withColumn(f.partition_column, f.to_column())
+
+    part_bytes: dict[str, int] = {}
+    for e in entries:
+        k = json.dumps(e.partition, sort_keys=True)
+        part_bytes[k] = part_bytes.get(k, 0) + e.size_bytes
+    n_sub = {
+        k: max(1, -(-b // table.target_file_size)) for k, b in part_bytes.items()
+    }
+    max_sub = max(n_sub.values())
+
+    zb = F.lit(0)
+    if max_sub > 1:
+        qs = [i / max_sub for i in range(1, max_sub)]
+        bounds_rows = (
+            key_df.groupBy(*pcols)
+            .agg(F.percentile_approx(ZKEY_COL, qs, 5000).alias("bounds"))
+            .collect()
+        ) if pcols else [
+            key_df.agg(F.percentile_approx(ZKEY_COL, qs, 5000).alias("bounds")).first()
+        ]
+
+        def pkey_of(row):
+            return json.dumps(
+                {c: row[c] for c in pcols}, sort_keys=True, default=str
+            )
+
+        # per-partition boundary literals, subsampled to that partition's
+        # own output-file count
+        bounds_df_rows = []
+        for r in bounds_rows:
+            pk = pkey_of(r) if pcols else next(iter(n_sub))
+            nb = n_sub.get(pk, 1)
+            bs = r["bounds"] or []
+            step = max(1, len(bs) // nb) if nb > 1 else len(bs) + 1
+            picked = [bs[i] for i in range(step - 1, len(bs), step)][: nb - 1] if nb > 1 else []
+            bounds_df_rows.append(
+                tuple([r[c] for c in pcols] + [picked])
+            )
+        bschema = ", ".join(f"{c} int" for c in pcols) + (", " if pcols else "") + "bounds array<long>"
+        bounds_df = spark.createDataFrame(bounds_df_rows, bschema)
+        df = df.join(F.broadcast(bounds_df), on=pcols, how="left") if pcols else df.crossJoin(
+            F.broadcast(bounds_df)
+        )
+        zb = F.size(F.filter(F.col("bounds"), lambda b: b <= F.col(ZKEY_COL)))
+        df = df.withColumn("_zb", zb).drop("bounds")
+    else:
+        df = df.withColumn("_zb", zb)
+
     staging = table._stage_dir()
-    out = df.repartitionByRange(int(n_out), *pcols, ZKEY_COL).sortWithinPartitions(
-        *pcols, ZKEY_COL
+    n_shuffle = int(sum(n_sub.values()))
+    out = df.repartition(max(n_shuffle, 1), *pcols, "_zb").sortWithinPartitions(
+        *pcols, "_zb", ZKEY_COL
     )
-    writer = out.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
+    # dir-per-(partition, zb): file content = one contiguous zkey range even
+    # when hash collisions co-locate several ranges in one task
+    writer = out.write.mode("overwrite").partitionBy(*pcols, "_zb")
     writer.parquet(staging)
 
     stats_cols = (table.stats_columns() or set()) | {ZKEY_COL}
-    new_entries = table.publish_staged(spark, staging, stats_columns=stats_cols)
+    new_entries = table.publish_staged(
+        spark, staging, stats_columns=stats_cols, drop_partition_keys={"_zb"}
+    )
 
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "written",

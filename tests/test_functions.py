@@ -8,7 +8,7 @@ from ocel_ocpn_lakehouse_spark.functions import dedup as D
 from ocel_ocpn_lakehouse_spark.functions import similarity as S
 from ocel_ocpn_lakehouse_spark.functions import text as X
 from ocel_ocpn_lakehouse_spark.functions.zorder import (
-    _hilbert_d4,
+    _hilbert_d,
     image_zorder_key,
     zorder_key4,
     to_u16,
@@ -143,7 +143,7 @@ def test_hilbert_vectorized_is_permutation():
     b = (np.arange(n, dtype=np.uint64) // 16) % 16
     c = np.zeros(n, dtype=np.uint64)
     d = np.zeros(n, dtype=np.uint64)
-    out = _hilbert_d4(a, b, c, d)
+    out = _hilbert_d([a, b, c, d])
     assert len(set(out.tolist())) == n  # injective on the grid
 
 
