@@ -7,13 +7,17 @@ total_size // 256 MB, "would require rewrite" (ops/maintenance_system.py:
   plan   : per-partition first-fit-decreasing of small files into bins of
            ≤ target file size (driver, manifest-only — same split as the
            reference's metadata-only planner, §3.3).
-  execute: ONE distributed job reads every pending group's input files,
-           tags rows with their group via a broadcast file→group join on
-           input_file_name(), hash-repartitions by group, sorts within
-           groups by the table sort order, writes partitionBy(_group) to
-           staging. Footer stats are collected distributed; the driver then
-           publishes group-by-group with checkpoint rows (planned →
-           written), and commits ONE replace-snapshot at the end
+  execute: ONE distributed job, ZERO shuffles. Each file group becomes one
+           union branch: read exactly that group's files → coalesce(1) →
+           tag lit(_group). The union's partitions are the groups, so one
+           task reads ~target-size bytes, sorts them in memory by the table
+           sort order (sortWithinPartitions), and writes one output file
+           under partitionBy(_group) staging. Image bytes never shuffle and
+           never join — at 10^12-row scale the job is N independent
+           group-tasks with perfect locality (the same shape Iceberg's
+           binpack rewrite uses). Footer stats are collected distributed;
+           the driver then publishes group-by-group with checkpoint rows
+           (planned → written), and commits ONE replace-snapshot at the end
            (written → committed).
   resume : deterministic job_id = f(table uuid, snapshot); groups already
            'written' are excluded from the rewrite job, their outputs are
@@ -171,26 +175,34 @@ def execute_compaction(
 
     if pending:
         staging = table._stage_dir()
-        mapping = [
-            (_norm_path_py(os.path.join(table.root, p)), g.group_id)
-            for g in pending
-            for p in g.input_paths
-        ]
-        mapping_df = spark.createDataFrame(mapping, "norm_path string, _group string")
-        in_paths = [os.path.join(table.root, p) for g in pending for p in g.input_paths]
-        df = (
-            spark.read.schema(table.schema)
-            .parquet(*in_paths)
-            .withColumn("norm_path", _norm_path_sql(F.input_file_name()))
-            .join(F.broadcast(mapping_df), "norm_path")
-            .drop("norm_path")
-        )
         sort_cols = sort_columns or [
             f.column for f in table.sort_order.fields if f.column in table.schema.fieldNames()
         ]
-        out = df.repartition(len(pending), "_group")
-        out = out.sortWithinPartitions("_group", *sort_cols) if sort_cols else out
-        out.write.mode("overwrite").partitionBy("_group").parquet(staging)
+        # one union branch per group: read only that group's files, collapse
+        # to a single partition (a group is ≤ target-file-size by
+        # construction, i.e. one output file's worth — ideal task size).
+        # The union job runs every branch as an independent task: no join,
+        # no shuffle, image bytes move exactly once (read → write).
+        # Catalyst plan size is O(branches), so very large compactions run
+        # in waves of ≤ wave_size groups — each wave one job, each job
+        # enough tasks to saturate the cluster.
+        wave_size = 256
+        for w0 in range(0, len(pending), wave_size):
+            wave = pending[w0 : w0 + wave_size]
+            branches = []
+            for g in wave:
+                paths = [os.path.join(table.root, p) for p in g.input_paths]
+                branches.append(
+                    spark.read.schema(table.schema)
+                    .parquet(*paths)
+                    .coalesce(1)
+                    .withColumn("_group", F.lit(g.group_id))
+                )
+            df = branches[0]
+            for b in branches[1:]:
+                df = df.unionByName(b)
+            out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+            out.write.mode("append").partitionBy("_group").parquet(staging)
 
         # distributed footer stats over everything we just wrote
         staged: dict[str, list[str]] = {}
