@@ -127,17 +127,24 @@ def verify_checksum_equivalence(
     }
 
 
-def verify_decode_phash(spark: SparkSession, table: Table, snapshot_id: int | None = None) -> dict:
-    """Deep verification: decode EVERY image and recompute the perceptual
+def verify_decode_phash(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+    sample_mod: int | None = None,
+) -> dict:
+    """Deep verification: decode images and recompute the perceptual
     hash (exact match required for lossless fmt; hamming ≤ 12 for lossy —
     measured drift envelope: max 10 over 60k images, the 6-bit quantizer
-    flips only near-median DCT bits). This is the CPU-bound
-    whole-corpus integrity pass used by the scaling benchmark: per-row
-    work is pure numpy inside an Arrow-batched UDF, so it parallelizes
-    with cores."""
+    flips only near-median DCT bits). Per-row work is pure numpy inside
+    an Arrow-batched UDF, so it parallelizes with cores. ``sample_mod=k``
+    checks the deterministic 1/k subset ``xxhash64(image_id) % k == 0``
+    (benchmark mode); default decodes every image."""
     from ..images.udfs import phash_of_bytes
 
     df = table.scan(spark, snapshot_id=snapshot_id).select("image_id", "fmt", "phash", "bytes")
+    if sample_mod and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64("image_id"), F.lit(sample_mod)) == 0)
     checked = df.withColumn("ph2", phash_of_bytes("bytes")).withColumn(
         "ok",
         F.when(F.col("fmt") == "png", F.col("ph2") == F.col("phash")).otherwise(
