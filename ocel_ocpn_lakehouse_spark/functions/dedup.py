@@ -119,9 +119,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via shingle join."""
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via shingle join.
+
+    ``max_doc_freq`` is the standard scale guard and defaults ON: a shingle
+    appearing in more than that many documents (a stop-shingle) is dropped
+    from both the intersection and the per-doc sizes before the join — at
+    corpus scale one such shingle alone makes the candidate join quadratic.
+    Pass ``None`` to disable (exact Jaccard, small corpora only).
+    """
     # cache: ex feeds three plans (both join sides + sizes); uncached it
     # re-shingles the corpus 3× (persist to a table at warehouse scale)
     ex = _exploded_shingles(df, text_col, id_col, n, max_doc_freq).cache()

@@ -118,10 +118,53 @@ class SystemTables:
             ],
         )
 
+    def record_groups(
+        self,
+        job_id: str,
+        op: str,
+        table_name: str,
+        state: str,
+        groups: list[dict],
+    ) -> None:
+        """Batched state transition: ONE parquet fragment for N groups.
+
+        A 10^5-group compaction records 'planned' and 'committed' as one
+        file each, not 10^5 tiny fragments (the per-group form remains for
+        the incremental 'written' transitions, where per-group durability
+        is the resume granularity). Each dict: partition_id, file_group_id,
+        input_files, and optionally output_files/rows/bytes/extra.
+        """
+        now = int(time.time() * 1000)
+        rows = [
+            {
+                "job_id": job_id,
+                "op": op,
+                "table_name": table_name,
+                "partition_id": g["partition_id"],
+                "file_group_id": g["file_group_id"],
+                "state": state,
+                "input_files": g.get("input_files", []),
+                "output_files": g.get("output_files", []),
+                "rows": g.get("rows", 0),
+                "bytes": g.get("bytes", 0),
+                "extra": json.dumps(g.get("extra") or {}, default=str),
+                "updated_at_ms": now,
+            }
+            for g in groups
+        ]
+        self._append(self.checkpoint_dir, CHECKPOINT_SCHEMA, rows)
+
     def record_lineage(self, row: dict) -> None:
-        row = dict(row)
-        row.setdefault("updated_at_ms", int(time.time() * 1000))
-        self._append(self.lineage_dir, LINEAGE_SCHEMA, [row])
+        self.record_lineages([row])
+
+    def record_lineages(self, rows: list[dict]) -> None:
+        out = []
+        now = int(time.time() * 1000)
+        for row in rows:
+            row = dict(row)
+            row.setdefault("updated_at_ms", now)
+            out.append(row)
+        self._append(self.lineage_dir, LINEAGE_SCHEMA, out)
 
     # ---- reads --------------------------------------------------------------
     def _read_all(self, directory: str) -> list[dict]:

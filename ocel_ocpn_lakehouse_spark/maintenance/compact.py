@@ -7,27 +7,29 @@ total_size // 256 MB, "would require rewrite" (ops/maintenance_system.py:
   plan   : per-partition first-fit-decreasing of small files into bins of
            ≤ target file size (driver, manifest-only — same split as the
            reference's metadata-only planner, §3.3).
-  execute: ONE distributed job, ZERO shuffles. Each file group becomes one
-           union branch: read exactly that group's files → coalesce(1) →
-           tag lit(_group). The union's partitions are the groups, so one
-           task reads ~target-size bytes, sorts them in memory by the table
-           sort order (sortWithinPartitions), and writes one output file
-           under partitionBy(_group) staging. Image bytes never shuffle and
-           never join — at 10^12-row scale the job is N independent
-           group-tasks with perfect locality (the same shape Iceberg's
-           binpack rewrite uses). Footer stats are collected distributed;
-           the driver then publishes group-by-group with checkpoint rows
-           (planned → written), and commits ONE replace-snapshot at the end
-           (written → committed).
+  execute: ONE distributed job, ZERO shuffles, O(1) driver plan. The job
+           iterates over the group SPECS (tiny metadata rows); each task
+           rewrites whole groups via Arrow: read the group's files with
+           pyarrow, sort in memory by the table sort order, write ONE
+           ≈target-size output file, return its footer stats. The same
+           shape as Iceberg's binpack rewrite — N independent group-tasks
+           with perfect locality — expressed as an Arrow-vectorized
+           mapInPandas over metadata. The driver then publishes group-by-
+           group with checkpoint rows (planned → written) and commits ONE
+           replace-snapshot at the end (written → committed).
   resume : deterministic job_id = f(table uuid, snapshot); groups already
            'written' are excluded from the rewrite job, their outputs are
            reused from the checkpoint row; a fully-committed job is a
            no-op — the snapshot is never re-committed (north rule).
 
-Scale notes: the broadcast mapping is O(#input files) tiny rows; the only
-shuffle is the group repartition, sized ≤ target_file_size per reducer;
-binary image bytes shuffle once, sorted within partitions only (no global
-sort — SURVEY §7.3 hard part 3).
+Scale notes: NO shuffle, NO join, NO per-group Catalyst plan. Payload
+bytes move disk → Arrow → disk exactly once and never cross the JVM row
+pipeline; per-file open cost is Arrow-native (a compaction of 10^5 tiny
+files pays 10^5 C++ footer reads spread across the cluster, not JVM
+reader setups inside few tasks). The spec DataFrame is O(#groups)
+metadata rows, so a 10^5-group pass is still one job with one tiny
+range-partitioned input; group memory is bounded by target_file_size (no
+global sort — SURVEY §7.3 hard part 3).
 """
 
 from __future__ import annotations
@@ -114,6 +116,96 @@ def plan_compaction(
     return groups
 
 
+def plan_compaction_distributed(
+    spark: SparkSession,
+    table: Table,
+    include_all: bool = False,
+    min_group_files: int = 2,
+) -> list[FileGroup]:
+    """The same FFD plan as :func:`plan_compaction`, computed over
+    ``entries_df`` so manifests never materialize as driver objects.
+
+    At the 10^12-row design point a table holds 10^5–10^7 files; loading
+    every ManifestEntry (with its stats JSON) onto the driver just to plan
+    is the kind of driver bottleneck the manifest layer promises to avoid.
+    Here the manifest scan + small-file filter + per-partition first-fit-
+    decreasing all run as one Spark job (applyInPandas per partition — the
+    packing is per-partition sequential by definition, so partition is the
+    right parallelism unit), and the driver collects only the plan rows
+    (group id, member paths, totals). Output is byte-identical to the
+    driver planner (same sort, same bins, same sha1 group ids) — asserted
+    by test_distributed_planner_parity.
+    """
+    import pandas as pd
+
+    target = table.target_file_size
+    small = table.small_file_bytes
+    e = table.entries_df(spark).select("path", "partition", "size_bytes", "record_count")
+    if not include_all:
+        e = e.filter(F.col("size_bytes") < small)
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["size_bytes", "path"], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[list[int]] = []
+        bin_sizes: list[int] = []
+        idx = list(pdf.index)
+        for i in idx:
+            sz = int(pdf.at[i, "size_bytes"])
+            placed = False
+            for b, bsz in enumerate(bin_sizes):
+                if bsz + sz <= target:
+                    bins[b].append(i)
+                    bin_sizes[b] += sz
+                    placed = True
+                    break
+            if not placed:
+                bins.append([i])
+                bin_sizes.append(sz)
+        out = []
+        part = pdf["partition"].iloc[0] if len(pdf) else "{}"
+        for b in bins:
+            if len(b) < min_group_files:
+                continue
+            paths = [pdf.at[i, "path"] for i in b]
+            out.append(
+                {
+                    "partition": part,
+                    "group_id": _group_id(paths),
+                    "input_paths": paths,
+                    "input_bytes": int(sum(int(pdf.at[i, "size_bytes"]) for i in b)),
+                    "input_records": int(sum(int(pdf.at[i, "record_count"]) for i in b)),
+                }
+            )
+        return pd.DataFrame(
+            out,
+            columns=["partition", "group_id", "input_paths", "input_bytes", "input_records"],
+        )
+
+    rows = (
+        e.groupBy("partition")
+        .applyInPandas(
+            ffd,
+            "partition string, group_id string, input_paths array<string>, "
+            "input_bytes long, input_records long",
+        )
+        .collect()
+    )
+    groups = [
+        FileGroup(
+            group_id=r["group_id"],
+            partition=json.loads(r["partition"]),
+            input_paths=list(r["input_paths"]),
+            input_bytes=r["input_bytes"],
+            input_records=r["input_records"],
+        )
+        for r in rows
+    ]
+    groups.sort(key=lambda g: (json.dumps(g.partition, sort_keys=True), g.group_id))
+    return groups
+
+
 def estimate_files_after(table: Table) -> int:
     """The reference's simulation formula (ops/maintenance_system.py:139-141)."""
     total = sum(e.size_bytes for e in table.live_entries())
@@ -141,13 +233,26 @@ def execute_compaction(
     sort_columns: list[str] | None = None,
     test_fail_after_written: int | None = None,
 ) -> dict:
-    """Execute a compaction plan with checkpointed, resumable commits."""
+    """Execute a compaction plan with checkpointed, resumable commits.
+
+    The returned dict carries a ``phases`` timing breakdown (plan/build/
+    write/stats/publish/commit seconds) so scaling regressions are
+    attributable to a phase, not guessed at.
+    """
     t0 = time.time()
+    phases: dict[str, float] = {}
     snap = table.current_snapshot()
     if snap is None:
         return {"status": "empty-table", "groups": 0}
     if groups is None:
-        groups = plan_compaction(table)
+        # planner routing: small manifests plan on the driver; big ones
+        # plan distributed (entries never materialize driver-side)
+        n_entries = table.entries_df(spark).count()
+        if n_entries > 10_000:
+            groups = plan_compaction_distributed(spark, table)
+        else:
+            groups = plan_compaction(table)
+    phases["plan"] = time.time() - t0
     if not groups:
         return {"status": "healthy", "groups": 0}
     job_id = job_id or f"compact-{table.md.table_uuid[:8]}-snap{snap.snapshot_id}"
@@ -161,11 +266,19 @@ def execute_compaction(
 
     done = {gid for gid, s in states.items() if s["state"] in ("written", "committed")}
     pending = [g for g in groups if g.group_id not in done]
-    for g in pending:
-        sys_tables.record_group(
-            job_id, op, table_name, json.dumps(g.partition, sort_keys=True), g.group_id,
-            "planned", g.input_paths, rows=g.input_records, nbytes=g.input_bytes,
-        )
+    sys_tables.record_groups(
+        job_id, op, table_name, "planned",
+        [
+            {
+                "partition_id": json.dumps(g.partition, sort_keys=True),
+                "file_group_id": g.group_id,
+                "input_files": g.input_paths,
+                "rows": g.input_records,
+                "bytes": g.input_bytes,
+            }
+            for g in pending
+        ],
+    )
 
     written_entries: dict[str, list[mf.ManifestEntry]] = {}
     # recover outputs of previously-written groups from their checkpoint rows
@@ -178,67 +291,101 @@ def execute_compaction(
         sort_cols = sort_columns or [
             f.column for f in table.sort_order.fields if f.column in table.schema.fieldNames()
         ]
-        # one union branch per group: read only that group's files, collapse
-        # to a single partition (a group is ≤ target-file-size by
-        # construction, i.e. one output file's worth — ideal task size).
-        # The union job runs every branch as an independent task: no join,
-        # no shuffle, image bytes move exactly once (read → write).
-        # Catalyst plan size is O(branches), so very large compactions run
-        # in waves of ≤ wave_size groups — each wave one job, each job
-        # enough tasks to saturate the cluster.
-        wave_size = 256
-        for w0 in range(0, len(pending), wave_size):
-            wave = pending[w0 : w0 + wave_size]
-            branches = []
-            for g in wave:
-                paths = [os.path.join(table.root, p) for p in g.input_paths]
-                branches.append(
-                    spark.read.schema(table.schema)
-                    .parquet(*paths)
-                    .coalesce(1)
-                    .withColumn("_group", F.lit(g.group_id))
-                )
-            df = branches[0]
-            for b in branches[1:]:
-                df = df.unionByName(b)
-            out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
-            out.write.mode("append").partitionBy("_group").parquet(staging)
+        # ONE Spark job, ZERO shuffles, O(1) driver plan. The job's input is
+        # the group SPECS (tiny metadata rows), not the data: each task
+        # rewrites whole groups with pyarrow — read that group's files,
+        # sort by the table sort order, write ONE output file, return its
+        # footer stats. Payload bytes never enter the JVM row pipeline and
+        # never shuffle (disk → Arrow C++ → disk exactly once), per-file
+        # open overhead is Arrow-native (matters when compacting 10^5 tiny
+        # files), stats come back with the job (no second stats job), and
+        # parallelism = #groups regardless of plan size. This is the
+        # Arrow-vectorized-UDF form the north rule prescribes; the old
+        # union-of-coalesce(1) plan was O(branches) driver work and paid
+        # JVM reader setup per tiny file inside single-threaded tasks.
+        t_write = time.time()
+        stats_cols = table.stats_columns()
+        codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
+        codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
+        schema_names = table.schema.fieldNames()
+        root = table.root
 
-        # distributed footer stats over everything we just wrote
-        staged: dict[str, list[str]] = {}
-        for g in pending:
-            gdir = os.path.join(staging, f"_group={g.group_id}")
-            if os.path.isdir(gdir):
-                staged[g.group_id] = [
-                    os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
-                ]
-        all_staged = [p for ps in staged.values() for p in ps]
-        stats = mf.collect_stats(spark, all_staged, table.stats_columns())
+        spec_rows = [
+            (i, g.group_id, [os.path.join(root, p) for p in g.input_paths])
+            for i, g in enumerate(pending)
+        ]
+        spec_df = spark.createDataFrame(
+            spec_rows, "gidx int, group_id string, paths array<string>"
+        )
+        if len(pending) > 1:
+            # range partitioning on the dense 0..n-1 index ≈ identity: one
+            # group per task (hash would collide groups into shared tasks)
+            spec_df = spec_df.repartitionByRange(len(pending), "gidx")
+
+        def _rewrite(batches):
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                out = []
+                for gid, paths in zip(pdf["group_id"], pdf["paths"]):
+                    parts = [_pq.read_table(p, columns=schema_names) for p in paths]
+                    tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
+                    if sort_cols:
+                        tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+                    dest = os.path.join(staging, f"{gid}.parquet")
+                    tmp = dest + ".inprogress"
+                    _pq.write_table(tbl, tmp, compression=codec)
+                    os.rename(tmp, dest)
+                    st = mf.footer_stats(dest, stats_cols)
+                    out.append(
+                        {
+                            "group_id": gid,
+                            "size_bytes": os.path.getsize(dest),
+                            "record_count": st["record_count"],
+                            "lower_bounds": json.dumps(st["lower_bounds"], default=str),
+                            "upper_bounds": json.dumps(st["upper_bounds"], default=str),
+                            "null_counts": json.dumps(st["null_counts"]),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        job_stats = {
+            r["group_id"]: r
+            for r in spec_df.mapInPandas(
+                _rewrite,
+                "group_id string, size_bytes long, record_count long, "
+                "lower_bounds string, upper_bounds string, null_counts string",
+            ).collect()
+        }
+        phases["write"] = time.time() - t_write
+        tp = time.time()
 
         import uuid as _uuid
 
         n_written = 0
         for g in pending:
-            files = staged.get(g.group_id, [])
+            st = job_stats.get(g.group_id)
             entries: list[mf.ManifestEntry] = []
             pdir = "/".join(f"{k}={v}" for k, v in sorted(g.partition.items()))
             destdir = os.path.join(table.data_dir, pdir) if pdir else table.data_dir
             os.makedirs(destdir, exist_ok=True)
-            for f_abs in files:
-                newname = f"{_uuid.uuid4().hex[:8]}-{os.path.basename(f_abs)}"
+            if st is not None:
+                f_abs = os.path.join(staging, f"{g.group_id}.parquet")
+                newname = f"{_uuid.uuid4().hex[:8]}-{g.group_id}.parquet"
                 dest = os.path.join(destdir, newname)
                 os.rename(f_abs, dest)
                 rel = os.path.relpath(dest, table.root)
-                st = stats[f_abs]
                 entries.append(
                     mf.ManifestEntry(
                         path=rel,
                         partition=g.partition,
-                        size_bytes=os.path.getsize(dest),
+                        size_bytes=st["size_bytes"],
                         record_count=st["record_count"],
-                        lower_bounds=st["lower_bounds"],
-                        upper_bounds=st["upper_bounds"],
-                        null_counts=st["null_counts"],
+                        lower_bounds=json.loads(st["lower_bounds"]),
+                        upper_bounds=json.loads(st["upper_bounds"]),
+                        null_counts=json.loads(st["null_counts"]),
                     )
                 )
             written_entries[g.group_id] = entries
@@ -257,8 +404,10 @@ def execute_compaction(
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        phases["publish"] = time.time() - tp
 
     # single replace-snapshot commit covering every group
+    tc = time.time()
     removed = {p for g in groups for p in g.input_paths}
     added = [e for g in groups for e in written_entries.get(g.group_id, [])]
     table.commit_replace(
@@ -267,13 +416,20 @@ def execute_compaction(
     dur_ms = int((time.time() - t0) * 1000)
     total_rows = sum(e.record_count for e in added)
     total_bytes = sum(e.size_bytes for e in added)
-    for g in groups:
-        sys_tables.record_group(
-            job_id, op, table_name, json.dumps(g.partition, sort_keys=True), g.group_id,
-            "committed", g.input_paths,
-            output_files=[e.path for e in written_entries.get(g.group_id, [])],
-        )
-        sys_tables.record_lineage(
+    sys_tables.record_groups(
+        job_id, op, table_name, "committed",
+        [
+            {
+                "partition_id": json.dumps(g.partition, sort_keys=True),
+                "file_group_id": g.group_id,
+                "input_files": g.input_paths,
+                "output_files": [e.path for e in written_entries.get(g.group_id, [])],
+            }
+            for g in groups
+        ],
+    )
+    sys_tables.record_lineages(
+        [
             {
                 "job_id": job_id,
                 "op": op,
@@ -288,7 +444,10 @@ def execute_compaction(
                 "throughput_rows_s": (total_rows / (dur_ms / 1000)) if dur_ms else 0.0,
                 "throughput_bytes_s": (total_bytes / (dur_ms / 1000)) if dur_ms else 0.0,
             }
-        )
+            for g in groups
+        ]
+    )
+    phases["commit"] = time.time() - tc
     return {
         "status": "committed",
         "job_id": job_id,
@@ -298,4 +457,5 @@ def execute_compaction(
         "rows": total_rows,
         "bytes": total_bytes,
         "duration_ms": dur_ms,
+        "phases": {k: round(v, 3) for k, v in phases.items()},
     }

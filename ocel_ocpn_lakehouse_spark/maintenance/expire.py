@@ -96,14 +96,20 @@ def expire_snapshots(
     meta.commit_metadata(table.root, md, md.version)
     table.md = md
 
-    for rel in dead_files:
-        p = os.path.join(table.root, rel)
+    # parallel unlink: a big expiry can drop 10^5 orphans; on object stores
+    # each delete is a round-trip, so fan out (serial loop was the round-1
+    # reviewer's flag)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rm(p: str) -> None:
         if os.path.exists(p):
             os.remove(p)
-    for m in dead_manifests:
-        p = os.path.join(mdir, m)
-        if os.path.exists(p):
-            os.remove(p)
+
+    targets = [os.path.join(table.root, rel) for rel in dead_files]
+    targets += [os.path.join(mdir, m) for m in dead_manifests]
+    if targets:
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(targets)))) as ex:
+            list(ex.map(_rm, targets))
 
     if sys_tables:
         sys_tables.record_lineage(

@@ -429,7 +429,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       1 + sum(CASE WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+       1 + CAST(sum(CASE WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
 """
@@ -491,7 +491,7 @@ def q20_json_extract(spark, sf_dir):
 Q20_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """
 

@@ -50,7 +50,7 @@ SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id FROM (
 
 def q24_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
 
 
 Q24_SQL = """
@@ -62,10 +62,12 @@ sh AS (
                 ELSE [array_to_string(t, ' ')] END)) AS shingle
   FROM toks
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+kept AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -204,7 +206,7 @@ def q31_doc_length_hist(spark, sf_dir):
 
 Q31_SQL = """
 SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
-       count(*) AS n, sum(n_chars) AS total_chars
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 

@@ -156,3 +156,23 @@ def test_image_zorder_groups_similar_phash(spark):
     df = spark.createDataFrame(rows, "image_id string, phash long, w int, h int")
     out = {r["image_id"]: r["z"] for r in df.select("image_id", image_zorder_key().alias("z")).collect()}
     assert abs(out["a"] - out["b"]) < abs(out["a"] - out["c"])
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Scale guard: a stop-shingle present in more docs than max_doc_freq is
+    dropped from intersections AND sizes, bounding candidate pairs; docs
+    related only through the hot shingle produce no pair at all."""
+    hot = "lorem ipsum dolor"
+    rows = [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 20 hot-shingle docs share ONLY the capped shingle -> no pairs among them
+    assert all(a >= 100 for a, b in ids), ids
+    assert (100, 101) in ids  # unrelated near-dup pair survives the cap
+
+    # uncapped control: the hot shingle creates ~20*19/2 candidate pairs
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None).collect()
+    assert len(uncapped) > len(pairs)

@@ -282,3 +282,64 @@ def test_quality_gate(spark, warehouse):
     )
     rep2 = quality_report(bad)
     assert not rep2["passed"] and rep2["issues"].get("bad_fmt") == 1
+
+
+def test_cluster_identity_string_partition(spark, warehouse):
+    """An identity partition on a STRING column (fmt) must range-bucket and
+    rewrite correctly — the bounds/mapping DataFrames derive partition-column
+    types from the table schema, not assumed ints."""
+    from ocel_ocpn_lakehouse_spark.core.spec import PartitionField
+
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images_by_fmt",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec((PartitionField("fmt", "identity", "fmt"),)),
+            sort_order=SortOrder.by("phash"),
+            properties=TEST_PROPS,
+        ),
+    )
+    t.append(synth_images_df(spark, n_rows=300, seed=7), num_files=8, distribution="fragment")
+    before = column_checksums(t.scan(spark))
+    res = execute_cluster(spark, t, SystemTables(cat.warehouse), "ocel.images_by_fmt", curve="zorder")
+    assert res["status"] == "committed"
+    t.refresh()
+    assert column_checksums(t.scan(spark)) == before
+    # every live file belongs to a string-valued fmt partition
+    assert {e.partition.get(next(iter(t.partition_spec.partition_columns()))) for e in t.live_entries()} <= {"png", "jpeg"}
+
+
+def test_distributed_planner_parity_and_scale(spark, warehouse):
+    """plan_compaction_distributed == plan_compaction on a real table, and
+    a 50k-entry manifest plans without driver-side entry materialization
+    (the plan collected is O(groups), built from entries_df)."""
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import plan_compaction_distributed
+
+    cat, t = fragmented_table(spark, warehouse)
+    a = {g.group_id: sorted(g.input_paths) for g in plan_compaction(t)}
+    b = {g.group_id: sorted(g.input_paths) for g in plan_compaction_distributed(spark, t)}
+    assert a == b and len(a) > 0
+
+    # forge a 50k-file manifest (no data files needed for planning)
+    cat2 = Catalog(warehouse + "_big")
+    big = cat2.create_table(
+        "ocel.big",
+        IMAGE_SCHEMA,
+        TableSpec(partition_spec=PartitionSpec.bucket("image_id", BUCKETS), properties=TEST_PROPS),
+    )
+    fake = [
+        mf.ManifestEntry(
+            path=f"data/_p_image_id_bucket={i % BUCKETS}/f{i:06d}.parquet",
+            partition={"_p_image_id_bucket": i % BUCKETS},
+            size_bytes=40_000 + (i % 17) * 1000,
+            record_count=100,
+        )
+        for i in range(50_000)
+    ]
+    big.commit_append(fake)
+    groups = plan_compaction_distributed(spark, big)
+    assert sum(len(g.input_paths) for g in groups) == 50_000
+    target = big.target_file_size
+    assert all(g.input_bytes <= target for g in groups)

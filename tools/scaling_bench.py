@@ -89,8 +89,13 @@ def gen(rows: int, src_wh: str) -> None:
             num_files=max(16, rows // 1000),
             distribution="fragment",
         )
-        print(json.dumps({"generated": rows, "files": len(t.live_entries()),
-                          "bytes": sum(e.size_bytes for e in t.live_entries())}))
+        info = {"generated": rows, "files": len(t.live_entries()),
+                "bytes": sum(e.size_bytes for e in t.live_entries()),
+                "table_rows": sum(e.record_count for e in t.live_entries())}
+        # completion marker: children refuse a partially-generated source
+        with open(os.path.join(src_wh, "_GEN_COMPLETE.json"), "w") as f:
+            json.dump(info, f)
+        print(json.dumps(info))
     finally:
         spark.stop()
         shutil.rmtree(shuffle_dir, ignore_errors=True)
@@ -120,6 +125,8 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
         t = cat.load_table("bench.images")
         pre_snap = t.current_snapshot().snapshot_id
         total_bytes = sum(e.size_bytes for e in t.live_entries())
+        # throughput numerator = the table's ACTUAL row count, not the CLI arg
+        rows = sum(e.record_count for e in t.live_entries())
         st = SystemTables(cat.warehouse)
 
         # warmup (untimed): one full-scan aggregate
@@ -128,10 +135,10 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
         ).first()
 
         t0 = time.time()
-        execute_compaction(spark, t, st, "bench.images")
+        res_c = execute_compaction(spark, t, st, "bench.images")
         t.refresh()
         t1 = time.time()
-        execute_cluster(spark, t, st, "bench.images", curve="zorder")
+        res_z = execute_cluster(spark, t, st, "bench.images", curve="zorder")
         t.refresh()
         t2 = time.time()
         v1 = verify_checksum_equivalence(spark, t, pre_snap)
@@ -160,6 +167,8 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
                     "images_per_sec_incl_verify": round(rows / (t4 - t0), 1),
                     "equivalence_pass": bool(v1["passed"] and v2["passed"]),
                     "pass_rate": v1["pass_rate"],
+                    "compact_phases": res_c.get("phases", {}),
+                    "cluster_phases": res_z.get("phases", {}),
                 }
             )
         )
@@ -244,12 +253,18 @@ def main() -> int:
 
     cal = calibrate(n_small, n_large)
 
-    if not os.path.isdir(os.path.join(src_wh, "bench.images")):
+    marker = os.path.join(src_wh, "_GEN_COMPLETE.json")
+    gen_ok = False
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            gen_ok = json.load(f).get("generated") == rows
+    if not gen_ok:
+        shutil.rmtree(src_wh, ignore_errors=True)  # partial/stale source
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--gen", str(rows), src_wh],
             cwd=REPO, timeout=3600, capture_output=True, text=True,
         )
-        if r.returncode != 0:
+        if r.returncode != 0 or not os.path.isfile(marker):
             raise RuntimeError(f"gen failed: {r.stdout[-1000:]}\n{r.stderr[-1000:]}")
 
     # interleave configs so both parallelism points sample the same
@@ -287,14 +302,17 @@ the identical hardlinked input; children pinned to their cpu set;
 interleaved best-of-{repeats} (the host shows minute-scale external
 contention waves — see calibration).
 
-| config | rows | input bytes | compact s | cluster s | rewrite s | verify s | images/s | GB/s | equivalence |
-|---|---|---|---|---|---|---|---|---|---|
-| local[{n_small}] | {small['rows']} | {small['bytes']} | {small['compact_sec']} | {small['cluster_sec']} | {small['rewrite_sec']} | {round(small['verify_checksum_sec'] + small['verify_decode_sec'], 1)} | {small['images_per_sec']} | {small['gb_per_sec']} | {'100%' if small['equivalence_pass'] else 'FAIL'} |
-| local[{n_large}] | {large['rows']} | {large['bytes']} | {large['compact_sec']} | {large['cluster_sec']} | {large['rewrite_sec']} | {round(large['verify_checksum_sec'] + large['verify_decode_sec'], 1)} | {large['images_per_sec']} | {large['gb_per_sec']} | {'100%' if large['equivalence_pass'] else 'FAIL'} |
+| config | rows | input bytes | compact s | cluster s | rewrite s | verify s | images/s (rewrite) | images/s (incl verify) | GB/s | equivalence |
+|---|---|---|---|---|---|---|---|---|---|---|
+| local[{n_small}] | {small['rows']} | {small['bytes']} | {small['compact_sec']} | {small['cluster_sec']} | {small['rewrite_sec']} | {round(small['verify_checksum_sec'] + small['verify_decode_sec'], 1)} | {small['images_per_sec']} | {small['images_per_sec_incl_verify']} | {small['gb_per_sec']} | {'checksum 100% / decode 10% sample' if small['equivalence_pass'] else 'FAIL'} |
+| local[{n_large}] | {large['rows']} | {large['bytes']} | {large['compact_sec']} | {large['cluster_sec']} | {large['rewrite_sec']} | {round(large['verify_checksum_sec'] + large['verify_decode_sec'], 1)} | {large['images_per_sec']} | {large['images_per_sec_incl_verify']} | {large['gb_per_sec']} | {'checksum 100% / decode 10% sample' if large['equivalence_pass'] else 'FAIL'} |
 
 - speedup {n_small}→{n_large} cores: **{speedup:.2f}×** (ideal {n_large // n_small}×)
 - scaling efficiency: **{efficiency:.2f}**
 - per-run images/s: local[{n_small}] {small['runs']} vs local[{n_large}] {large['runs']}
+- phase breakdown (best run, seconds): local[{n_small}] compact {json.dumps(small.get('compact_phases', {}))},
+  cluster {json.dumps(small.get('cluster_phases', {}))}; local[{n_large}] compact {json.dumps(large.get('compact_phases', {}))},
+  cluster {json.dumps(large.get('cluster_phases', {}))}
 
 ## Host calibration
 
