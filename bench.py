@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q25_minhash_lsh",
     "q27_ann_cosine_topk",
     "q29_text_quality",
+    "q36_conformance",
 ]
 
 

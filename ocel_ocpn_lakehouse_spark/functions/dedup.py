@@ -224,16 +224,22 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, sig): 64-bit SimHash = per-bit majority vote of distinct-token
-    xxhash64s. One explode + one groupBy with 64 JVM-side bit-sum
-    aggregates — tokens hash exactly once (a naive per-bit column
-    expression re-evaluates split+hash 64×; this shape is what scales)."""
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    """(id, sig): 64-bit SimHash = per-bit majority vote of distinct
+    n-gram-shingle xxhash64s. One explode + one groupBy with 64 JVM-side
+    bit-sum aggregates — shingles hash exactly once (a naive per-bit
+    column expression re-evaluates split+hash 64×; this shape is what
+    scales).
+
+    Votes run over the SAME shingle universe as ngram_jaccard_pairs: on a
+    small-vocabulary corpus, distinct unigram sets are nearly identical
+    across documents and unigram-SimHash collapses (hamming-0 collisions
+    between unrelated texts); the n-gram space is large enough to stay
+    discriminative and makes hamming distance track shingle-Jaccard."""
+    tok = _exploded_shingles(df, text_col, id_col, n, max_doc_freq=None).withColumn(
+        "h", F.xxhash64("shingle")
+    )
     votes = tok.groupBy("_id").agg(
         F.count("*").alias("n"),
         *[

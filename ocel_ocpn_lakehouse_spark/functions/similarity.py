@@ -86,12 +86,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k probing only the query's LSH bucket.
+    """Approximate cosine top-k with MULTI-PROBE sign-LSH.
 
-    Recall < 1 by design; at scale you shard buckets across the cluster
-    and multi-probe neighboring buckets. Output shape matches
-    brute_force_topk for recall evaluation."""
+    ``probes`` is the hamming radius of probed buckets: 0 probes only the
+    query's own bucket (cheapest, weakest recall); 1 additionally probes
+    the n_planes buckets one sign-flip away — the standard multi-probe
+    trick, and the cost lands entirely on the tiny broadcast query side
+    ((1 + n_planes)× query rows), never on the corpus. Recall < 1 by
+    design; at scale buckets shard across the cluster. Output shape
+    matches brute_force_topk for recall evaluation."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
@@ -99,10 +104,19 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    if probes >= 1:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
+        )  # hamming-0 + hamming-1 probe masks
+        q = q.withColumn("_flip", F.explode(flips)).withColumn(
+            "bucket", F.col("bucket").bitwiseXOR(F.col("_flip"))
+        ).drop("_flip")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a candidate can surface via several probed buckets
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -97,13 +97,23 @@ def zorder_key3_salted(a: Column, b: Column, c: Column, salt: Column) -> Column:
     )
 
 
+def id_salt16(image_id: Column) -> Column:
+    """16-bit id-hash salt lane: crc32(utf8(id)) & 0xFFFF.
+
+    crc32 (not xxhash64) so the salt is computable bit-identically in
+    numpy (zlib.crc32) — the Arrow-native cluster rewrite recomputes the
+    curve key executor-side in numpy and the two paths must agree
+    (asserted by test_curve_key_numpy_parity)."""
+    return F.crc32(F.encode(image_id, "UTF-8")).bitwiseAND(F.lit(0xFFFF))
+
+
 def image_zorder_key(
     phash: Column | str = "phash",
     w: Column | str = "w",
     h: Column | str = "h",
     image_id: Column | str = "image_id",
 ) -> Column:
-    """The north-rule clustering key over (phash, w, h, xxhash64(image_id)):
+    """The north-rule clustering key over (phash, w, h, crc32(image_id)):
     3-way interleave of the data columns + id-hash salt suffix."""
     phash = F.col(phash) if isinstance(phash, str) else phash
     w = F.col(w) if isinstance(w, str) else w
@@ -113,7 +123,7 @@ def image_zorder_key(
         to_u16(phash, 64),
         to_u16(w.cast("long"), 16),
         to_u16(h.cast("long"), 16),
-        to_u16(F.xxhash64(image_id), 64),
+        id_salt16(image_id),
     )
 
 
@@ -188,5 +198,84 @@ def image_hilbert_key() -> Column:
         to_u16(F.col("phash"), 64),
         to_u16(F.col("w").cast("long"), 16),
         to_u16(F.col("h").cast("long"), 16),
-        to_u16(F.xxhash64(F.col("image_id")), 64),
+        id_salt16(F.col("image_id")),
+    )
+
+
+# ---- numpy mirrors (Arrow-native cluster rewrite) ----------------------------
+#
+# The cluster map job recomputes the curve key executor-side from Arrow
+# column buffers; these mirrors are asserted bit-identical to the column
+# expressions above (test_curve_key_numpy_parity), which is what makes the
+# Spark key-scan quantile boundaries valid range cuts for numpy-computed
+# keys.
+
+
+def to_u16_np(x: np.ndarray, input_bits: int = 16) -> np.ndarray:
+    x = x.astype(np.uint64)
+    if input_bits <= 16:
+        return x & np.uint64(0xFFFF)
+    return (x >> np.uint64(input_bits - 16)) & np.uint64(0xFFFF)
+
+
+def _spread3_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x001F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x001F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def zorder_key3_salted_np(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, salt: np.ndarray
+) -> np.ndarray:
+    """int64 mirror of :func:`zorder_key3_salted`."""
+    z3 = (_spread3_np(a) << np.uint64(2)) | (_spread3_np(b) << np.uint64(1)) | _spread3_np(c)
+    out = (z3 << np.uint64(16)) | (salt.astype(np.uint64) & np.uint64(0xFFFF))
+    return (out ^ np.uint64(1 << 63)).astype(np.int64)
+
+
+def crc32_salt16_np(ids) -> np.ndarray:
+    """numpy mirror of :func:`id_salt16` (zlib.crc32 == java.util.zip.CRC32)."""
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) & 0xFFFF for s in ids),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def image_zorder_key_np(
+    phash: np.ndarray, w: np.ndarray, h: np.ndarray, salt16: np.ndarray
+) -> np.ndarray:
+    return zorder_key3_salted_np(
+        to_u16_np(phash, 64), to_u16_np(w, 16), to_u16_np(h, 16), salt16
+    )
+
+
+def image_hilbert_key_np(
+    phash: np.ndarray, w: np.ndarray, h: np.ndarray, salt16: np.ndarray
+) -> np.ndarray:
+    res = _hilbert_d([to_u16_np(phash, 64), to_u16_np(w, 16), to_u16_np(h, 16)])
+    out = (res << np.uint64(16)) | (salt16.astype(np.uint64) & np.uint64(0xFFFF))
+    return (out ^ np.uint64(1 << 63)).astype(np.int64)
+
+
+def hash_key_expr(cols: list[str]) -> Column:
+    """Fallback clustering key for non-image tables: crc32 of the
+    '\\x1f'-joined string forms — numpy-computable (hash_key_np)."""
+    joined = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    return F.crc32(F.encode(joined, "UTF-8")).cast("long")
+
+
+def hash_key_np(arrays: list) -> np.ndarray:
+    import zlib
+
+    n = len(arrays[0])
+    joined = ("\x1f".join(str(a[i]) for a in arrays) for i in range(n))
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in joined), dtype=np.int64, count=n
     )

@@ -1,29 +1,40 @@
 """T6 — Z-order/Hilbert clustering rewrite, EXECUTED (not just recommended).
 
 The reference checks sort-order drift and recommends re-clustering
-(ops/advanced_partitioning.py:154-181); here the rewrite runs:
+(ops/advanced_partitioning.py:154-181); here the rewrite runs, as a fully
+Arrow-native two-phase job (Spark is the planner/scheduler; payload bytes
+never enter the JVM row pipeline):
 
-  1. scan live files, attach the 64-bit curve key `_zkey`
-     (functions/zorder.py — pure column expressions for Z-order, an
-     Arrow-vectorized pandas UDF for Hilbert); per-partition zkey
-     quantiles come from a KEY-ONLY scan (column pruning keeps image
-     bytes out of the sampling pass) and define one range bucket `_zb`
-     per ≈target-size output file; the xxhash64(image_id) low bits
-     inside the key salt residual phash hot-spot skew (north rule:
-     "salting for phash hot-spots");
-  2. ONE hash shuffle with an exact reducer assignment: every
-     (partition, _zb) combo maps to its own reducer via a broadcast
-     combo→(idx, salt) table whose salts are probed so Spark's hash
-     partitioning becomes collision-free (exact_partition_salts) —
-     parallelism = #output files, no idle reducers, no co-located
-     ranges;
-  3. `sortWithinPartitions(*pcols, _zb, _zkey)` → write
-     partitionBy(pcols, _zb), keeping `_zkey` as a real column in the
-     files so footer stats give per-file zkey min/max — the "per-file
-     min/max stats rewrite" the north rule requires. Scans pruning on
-     `_zkey` (or on phash/w/h bounds, which clustering tightens) skip
-     files entirely.
+  1. KEY SCAN (Spark column expressions, column-pruned): per-partition
+     zkey quantiles from a key-only scan — image bytes stay out of the
+     sampling pass — define one range bucket `_zb` per ≈target-size
+     output file. The curve key interleaves (phash, w, h) with a
+     crc32(image_id) low-order salt suffix (north rule: "salting for
+     phash hot-spots" — boundaries can fall inside a hot phash cell and
+     spread it over several files).
+  2. MAP (mapInPandas over FILE SPECS — metadata rows): each task reads
+     its input files with pyarrow, recomputes the curve key in numpy
+     (bit-identical to the Spark expressions — functions/zorder.py numpy
+     mirrors, asserted by test_curve_key_numpy_parity), bins rows into
+     range buckets with searchsorted, and writes one parquet FRAGMENT per
+     (file × bucket) into a staging shuffle dir. This is a file-level
+     shuffle write in Arrow C++ — no JVM row serialization, no row-based
+     shuffle.
+  3. REDUCE (mapInPandas over COMBO SPECS): each task concatenates its
+     bucket's fragments, sorts by `_zkey` (kept as a real column so footer
+     stats give per-file zkey min/max — the north rule's "per-file
+     min/max stats rewrite"), writes ONE ≈target-size file, and returns
+     footer stats with the job.
   4. replace-snapshot commit + manifest rewrite (T7) + lineage rows.
+
+Scale notes: both jobs iterate metadata rows; parallelism = #input files
+(map) and #output files (reduce) with zero hash collisions and no idle
+reducers. Fragment fan-out per map task is bounded by the combos of its
+own table partition (a partition of B bytes has B/target buckets); very
+large single partitions should be clustered in partition-range waves, the
+same granularity Iceberg's rewrite actions use. Empty range buckets are
+legal (quantile estimation); lost reducer outputs are not — a row-count
+guard fails the job before the replace commit could drop data.
 """
 
 from __future__ import annotations
@@ -38,51 +49,51 @@ from pyspark.sql import types as T
 
 from ..core import manifests as mf
 from ..core.table import Table
-from ..functions.zorder import image_hilbert_key, image_zorder_key
+from ..functions.zorder import hash_key_expr, image_hilbert_key, image_zorder_key
 from .checkpoint import SystemTables
 
 ZKEY_COL = "_zkey"
+_IMAGE_KEY_COLS = ("phash", "w", "h", "image_id")
 
 
-def exact_partition_salts(spark: SparkSession, n_keys: int, n_part: int, max_tries: int = 64) -> list[int]:
-    """Collision-free reducer assignment for dense int keys 0..n_keys-1.
+def _curve_spec(table: Table, curve: str, key_cols: list[str] | None) -> dict:
+    """Resolve the clustering curve to (spark expr, numpy fn inputs).
 
-    DataFrame ``repartition(n, cols)`` hash-partitions — with #reducers ≈
-    #distinct keys, collisions leave reducers empty and pile several file
-    groups onto one task (the round-1 cluster phase scaled 1.4× for this
-    reason). There is no identity partitioner in the DataFrame API, so we
-    make the hash behave like one: probe ``pmod(hash(key, salt), n_part)``
-    for a few candidate salts per key (one tiny Spark job over n_keys ×
-    max_tries metadata rows — this uses Spark's own Murmur3, so it can
-    never drift from the engine), then greedily pick salts so every key
-    lands in a distinct bucket. With n_part ≥ 2×n_keys the greedy pick
-    fails with probability ~(1/2)^max_tries per key. Returns salt[key].
+    curve: 'zorder' | 'hilbert' (image tables) | 'hash' (generic fallback,
+    crc32 of stringified key columns — numpy-computable like the others).
     """
-    probe = (
-        spark.range(n_keys)
-        .select(
-            F.col("id").cast("int").alias("k"),
-            F.explode(F.sequence(F.lit(0), F.lit(max_tries - 1))).alias("salt"),
-        )
-        .withColumn("bucket", F.pmod(F.hash("k", "salt"), F.lit(n_part)))
-        .collect()
-    )
-    by_key: dict[int, list[tuple[int, int]]] = {}
-    for r in probe:
-        by_key.setdefault(r["k"], []).append((r["salt"], r["bucket"]))
-    used: set[int] = set()
-    salts: list[int] = []
-    for k in range(n_keys):
-        chosen = None
-        for salt, bucket in sorted(by_key[k]):
-            if bucket not in used:
-                used.add(bucket)
-                chosen = salt
-                break
-        if chosen is None:  # astronomically unlikely; collide rather than fail
-            chosen = 0
-        salts.append(chosen)
-    return salts
+    fields = set(table.schema.fieldNames())
+    if curve in ("zorder", "hilbert") and set(_IMAGE_KEY_COLS) <= fields:
+        return {"kind": curve, "inputs": list(_IMAGE_KEY_COLS)}
+    cols = key_cols or [f.column for f in table.sort_order.fields if f.column in fields]
+    if not cols:
+        cols = sorted(fields - {"bytes"})[:1]
+    return {"kind": "hash", "inputs": cols}
+
+
+def _curve_expr(spec: dict):
+    if spec["kind"] == "zorder":
+        return image_zorder_key()
+    if spec["kind"] == "hilbert":
+        return image_hilbert_key()
+    return hash_key_expr(spec["inputs"])
+
+
+def _curve_np(spec: dict, tbl) -> "object":
+    """Compute the curve key for a pyarrow Table → np.int64 array."""
+    import numpy as np
+
+    from ..functions import zorder as Z
+
+    if spec["kind"] in ("zorder", "hilbert"):
+        phash = tbl["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tbl["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = Z.crc32_salt16_np(tbl["image_id"].to_pylist())
+        fn = Z.image_zorder_key_np if spec["kind"] == "zorder" else Z.image_hilbert_key_np
+        return fn(phash.astype(np.uint64), w.astype(np.uint64), h.astype(np.uint64), salt)
+    arrays = [tbl[c].to_pylist() for c in spec["inputs"]]
+    return Z.hash_key_np(arrays)
 
 
 def execute_cluster(
@@ -90,8 +101,8 @@ def execute_cluster(
     table: Table,
     sys_tables: SystemTables,
     table_name: str = "",
-    curve: str = "zorder",  # zorder | hilbert
-    key_column=None,
+    curve: str = "zorder",  # zorder | hilbert | hash
+    key_cols: list[str] | None = None,
     job_id: str | None = None,
 ) -> dict:
     t0 = time.time()
@@ -110,40 +121,26 @@ def execute_cluster(
 
     total_bytes = sum(e.size_bytes for e in entries)
     total_records = sum(e.record_count for e in entries)
-    n_out = max(1, -(-total_bytes // table.target_file_size))
-
-    if key_column is None:
-        cols = set(table.schema.fieldNames())
-        if {"phash", "w", "h", "image_id"} <= cols:
-            key_column = image_hilbert_key() if curve == "hilbert" else image_zorder_key()
-        else:
-            sort_cols = [f.column for f in table.sort_order.fields] or table.schema.fieldNames()[:1]
-            key_column = F.xxhash64(*sort_cols)  # fallback: stable spread
-
     spec = table.partition_spec
     pcols = spec.partition_columns()
-    df = table.scan(spark).withColumn(ZKEY_COL, key_column)
-    for f in spec.fields:
-        df = df.withColumn(f.partition_column, f.to_column())
+    cspec = _curve_spec(table, curve, key_cols)
+    key_column = _curve_expr(cspec)
 
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "planned",
         [e.path for e in entries], rows=total_records, nbytes=total_bytes,
     )
 
-    # --- range boundaries WITHOUT repartitionByRange -----------------------
-    # repartitionByRange samples the full-width shuffle input — on an image
-    # table that is a second complete read of every payload byte. Instead:
-    # per-partition zkey quantiles from a KEY-ONLY scan (column pruning
-    # keeps bytes out of it), then a hash shuffle on the precomputed range
-    # bucket. Output file count per partition = ceil(partition_bytes /
-    # target) (the reference's sizing formula, ops/maintenance_system.py:139).
+    # --- 1. key-scan quantile boundaries (Spark, column-pruned) ------------
+    # repartitionByRange would sample the full-width shuffle input — on an
+    # image table that is a second complete read of every payload byte.
+    # Instead: per-partition zkey quantiles from a KEY-ONLY scan, then
+    # explicit range bucketing below.
+    t_bounds = time.time()
     key_inputs = sorted(
-        {c for c in ("phash", "w", "h", "image_id") if c in table.schema.fieldNames()}
-        # partition transforms need their source columns even in the
-        # key-only scan (e.g. an identity partition on fmt)
+        set(cspec["inputs"])
         | {f.source for f in spec.fields if f.source in table.schema.fieldNames()}
-    ) or [f.column for f in table.sort_order.fields]
+    )
     key_df = table.scan(spark, columns=list(key_inputs)).withColumn(ZKEY_COL, key_column)
     for f in spec.fields:
         key_df = key_df.withColumn(f.partition_column, f.to_column())
@@ -152,13 +149,10 @@ def execute_cluster(
     for e in entries:
         k = json.dumps(e.partition, sort_keys=True)
         part_bytes[k] = part_bytes.get(k, 0) + e.size_bytes
-    n_sub = {
-        k: max(1, -(-b // table.target_file_size)) for k, b in part_bytes.items()
-    }
+    n_sub = {k: max(1, -(-b // table.target_file_size)) for k, b in part_bytes.items()}
     max_sub = max(n_sub.values())
 
-    t_bounds = time.time()
-    zb = F.lit(0)
+    bounds_by_pkey: dict[str, list[int]] = {k: [] for k in n_sub}
     if max_sub > 1:
         qs = [i / max_sub for i in range(1, max_sub)]
         bounds_rows = (
@@ -168,154 +162,132 @@ def execute_cluster(
         ) if pcols else [
             key_df.agg(F.percentile_approx(ZKEY_COL, qs, 5000).alias("bounds")).first()
         ]
-
-        def pkey_of(row):
-            return json.dumps(
-                {c: row[c] for c in pcols}, sort_keys=True, default=str
-            )
-
-        # per-partition boundary literals, subsampled to that partition's
-        # own output-file count
-        bounds_df_rows = []
         for r in bounds_rows:
-            pk = pkey_of(r) if pcols else next(iter(n_sub))
+            pk = (
+                json.dumps({c: r[c] for c in pcols}, sort_keys=True, default=str)
+                if pcols
+                else next(iter(n_sub))
+            )
             nb = n_sub.get(pk, 1)
             bs = r["bounds"] or []
             step = max(1, len(bs) // nb) if nb > 1 else len(bs) + 1
             picked = [bs[i] for i in range(step - 1, len(bs), step)][: nb - 1] if nb > 1 else []
-            bounds_df_rows.append(
-                tuple([r[c] for c in pcols] + [picked])
-            )
-        # partition-column types come from the table schema (an identity
-        # partition may be a string column — int literals would break the
-        # broadcast-join key)
-        bschema = T.StructType(
-            [T.StructField(c, df.schema[c].dataType) for c in pcols]
-            + [T.StructField("bounds", T.ArrayType(T.LongType()))]
-        )
-        bounds_df = spark.createDataFrame(bounds_df_rows, bschema)
-        df = df.join(F.broadcast(bounds_df), on=pcols, how="left") if pcols else df.crossJoin(
-            F.broadcast(bounds_df)
-        )
-        zb = F.size(F.filter(F.col("bounds"), lambda b: b <= F.col(ZKEY_COL)))
-        df = df.withColumn("_zb", zb).drop("bounds")
-    else:
-        df = df.withColumn("_zb", zb)
-
+            bounds_by_pkey[pk] = [int(b) for b in picked]
     phases["bounds"] = time.time() - t_bounds
 
-    # --- exact reducer assignment -----------------------------------------
-    # One reducer per (partition, range-bucket) combo: combos are known
-    # driver-side (metadata), so broadcast a combo → (dense idx, salt) map
-    # and hash-partition on (idx, salt) with salts probed so every combo
-    # lands in its own bucket (exact_partition_salts). Parallelism equals
-    # #output files with zero collisions — the previous
-    # repartition(n, pcols, _zb) collided ranges into shared reducers and
-    # left others empty, capping the 4→16-core speedup at 1.4×.
-    t_assign = time.time()
+    # combo = (partition, range bucket) → dense index; combos are metadata
     combos: list[tuple[str, int]] = [
         (pk, zb_i) for pk in sorted(n_sub) for zb_i in range(n_sub[pk])
     ]
-    n_combos = len(combos)
-    staging = table._stage_dir()
-    if n_combos > 1:
-        n_part = 2 * n_combos
-        salts = exact_partition_salts(spark, n_combos, n_part)
-        mrows = []
-        for cidx, (pk, zb_i) in enumerate(combos):
-            pvals = json.loads(pk)
-            mrows.append(tuple([pvals[c] for c in pcols] + [zb_i, cidx, salts[cidx]]))
-        mschema = T.StructType(
-            [T.StructField(c, df.schema[c].dataType) for c in pcols]
-            + [
-                T.StructField("_zb", T.IntegerType()),
-                T.StructField("_cidx", T.IntegerType()),
-                T.StructField("_salt", T.IntegerType()),
-            ]
-        )
-        mapping = spark.createDataFrame(mrows, mschema)
-        shuffled = (
-            df.withColumn("_zb", F.col("_zb").cast("int"))
-            .join(F.broadcast(mapping), on=[*pcols, "_zb"], how="left")
-            .repartition(n_part, "_cidx", "_salt")
-        )
-    else:
-        shuffled = (
-            df.withColumn("_zb", F.col("_zb").cast("int"))
-            .withColumn("_cidx", F.lit(0))
-            .withColumn("_salt", F.lit(0))
-            .repartition(1)
-        )
-    phases["assign"] = time.time() - t_assign
+    combo_index: dict[tuple[str, int], int] = {c: i for i, c in enumerate(combos)}
 
-    # --- Arrow-native reduce ----------------------------------------------
-    # Each reducer holds exactly one combo (≈ one target-size output file).
-    # mapInArrow keeps the shuffled rows in Arrow buffers: the task sorts
-    # by _zkey in C++, writes ONE parquet file with pyarrow, and returns
-    # footer stats as a metadata row — no JVM parquet writer, no dynamic-
-    # partition machinery, no second stats job, no staging os.walk. Payload
-    # crosses JVM→Arrow once (columnar IPC), then memory→disk once.
-    t_write = time.time()
-    stats_cols = (table.stats_columns() or set()) | {ZKEY_COL}
+    staging = table._stage_dir()
+    shuffle_dir = os.path.join(staging, "_shuffle")
+    os.makedirs(shuffle_dir, exist_ok=True)
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
-    drop_cols = [*pcols, "_zb", "_cidx", "_salt"]
+    schema_names = table.schema.fieldNames()
+    root = table.root
 
-    def _write_combo(batches):
+    # --- 2. MAP: Arrow file-level shuffle write ---------------------------
+    t_map = time.time()
+    file_rows = [
+        (i, os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
+        for i, e in enumerate(entries)
+    ]
+    files_df = spark.createDataFrame(file_rows, "fidx int, path string, pkey string")
+    if len(file_rows) > 1:
+        files_df = files_df.repartitionByRange(
+            min(len(file_rows), 4 * int(spark.sparkContext.defaultParallelism)), "fidx"
+        )
+
+    def _map_shuffle(batches):
+        import numpy as np
+        import pandas as pd
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        out_schema = pa.schema(
-            [
-                ("cidx", pa.int32()),
-                ("size_bytes", pa.int64()),
-                ("record_count", pa.int64()),
-                ("lower_bounds", pa.string()),
-                ("upper_bounds", pa.string()),
-                ("null_counts", pa.string()),
-            ]
-        )
-        got = list(batches)
-        if not got:
-            return
-        tbl = pa.Table.from_batches(got)
-        for cidx_val in pc.unique(tbl["_cidx"]).to_pylist():
-            part = (
-                tbl.filter(pc.equal(tbl["_cidx"], cidx_val))
-                if len(pc.unique(tbl["_cidx"])) > 1
-                else tbl
-            )
-            part = part.drop_columns([c for c in drop_cols if c in part.column_names])
-            part = part.sort_by([(ZKEY_COL, "ascending")])
-            dest = os.path.join(staging, f"c{cidx_val}.parquet")
-            tmp = dest + ".inprogress"
-            pq.write_table(part, tmp, compression=codec)
-            os.rename(tmp, dest)
-            st = mf.footer_stats(dest, stats_cols)
-            yield pa.RecordBatch.from_pylist(
-                [
+        for pdf in batches:
+            out = []
+            for fidx, path, pkey in zip(pdf["fidx"], pdf["path"], pdf["pkey"]):
+                tbl = pq.read_table(path, columns=schema_names)
+                zkey = _curve_np(cspec, tbl)
+                tbl = tbl.append_column(ZKEY_COL, pa.array(zkey, type=pa.int64()))
+                bounds = np.asarray(bounds_by_pkey.get(pkey, []), dtype=np.int64)
+                zb = (
+                    np.searchsorted(bounds, zkey, side="right")
+                    if len(bounds)
+                    else np.zeros(len(zkey), dtype=np.int64)
+                )
+                for zb_i in np.unique(zb):
+                    cidx = combo_index[(pkey, int(zb_i))]
+                    part = tbl.filter(pa.array(zb == zb_i))
+                    cdir = os.path.join(shuffle_dir, f"c{cidx}")
+                    os.makedirs(cdir, exist_ok=True)
+                    frag = os.path.join(cdir, f"f{fidx}.parquet")
+                    # fragments are intermediate: cheapest codec wins
+                    pq.write_table(part, frag + ".tmp", compression="lz4")
+                    os.rename(frag + ".tmp", frag)
+                    out.append({"fidx": int(fidx), "cidx": int(cidx), "rows": len(part)})
+            yield pd.DataFrame(out, columns=["fidx", "cidx", "rows"])
+
+    map_acks = files_df.mapInPandas(_map_shuffle, "fidx int, cidx int, rows long").collect()
+    mapped_rows = sum(r["rows"] for r in map_acks)
+    if mapped_rows != total_records:
+        raise RuntimeError(f"cluster map row mismatch: {mapped_rows} != {total_records}")
+    phases["map"] = time.time() - t_map
+
+    # --- 3. REDUCE: concat + sort + one file per combo --------------------
+    t_reduce = time.time()
+    stats_cols = (table.stats_columns() or set()) | {ZKEY_COL}
+    live_combos = sorted({r["cidx"] for r in map_acks})
+    combo_df = spark.createDataFrame([(c,) for c in live_combos], "cidx int")
+    if len(live_combos) > 1:
+        combo_df = combo_df.repartitionByRange(len(live_combos), "cidx")
+
+    def _reduce_write(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for cidx in pdf["cidx"]:
+                cdir = os.path.join(shuffle_dir, f"c{cidx}")
+                frags = sorted(os.listdir(cdir))
+                parts = [pq.read_table(os.path.join(cdir, f)) for f in frags]
+                tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                tbl = tbl.sort_by([(ZKEY_COL, "ascending")])
+                dest = os.path.join(staging, f"c{cidx}.parquet")
+                pq.write_table(tbl, dest + ".tmp", compression=codec)
+                os.rename(dest + ".tmp", dest)
+                st = mf.footer_stats(dest, stats_cols)
+                out.append(
                     {
-                        "cidx": int(cidx_val),
+                        "cidx": int(cidx),
                         "size_bytes": os.path.getsize(dest),
                         "record_count": st["record_count"],
                         "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                         "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                         "null_counts": json.dumps(st["null_counts"]),
                     }
-                ],
-                schema=out_schema,
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["cidx", "size_bytes", "record_count", "lower_bounds",
+                         "upper_bounds", "null_counts"],
             )
 
-    stat_rows = shuffled.mapInArrow(
-        _write_combo,
+    stat_rows = combo_df.mapInPandas(
+        _reduce_write,
         "cidx int, size_bytes long, record_count long, "
         "lower_bounds string, upper_bounds string, null_counts string",
     ).collect()
-    phases["write"] = time.time() - t_write
+    phases["reduce"] = time.time() - t_reduce
 
-    # publish: rename each combo file into its partition dir, build entries
+    # --- 4. publish + commit ----------------------------------------------
     t_publish = time.time()
+    import shutil as _shutil
     import uuid as _uuid
 
     os.makedirs(table.data_dir, exist_ok=True)
@@ -339,8 +311,6 @@ def execute_cluster(
                 null_counts=json.loads(r["null_counts"]),
             )
         )
-    import shutil as _shutil
-
     _shutil.rmtree(staging, ignore_errors=True)
     phases["publish"] = time.time() - t_publish
 
@@ -351,6 +321,14 @@ def execute_cluster(
         nbytes=sum(e.size_bytes for e in new_entries),
     )
 
+    rewritten_rows = sum(e.record_count for e in new_entries)
+    if rewritten_rows != total_records:
+        # a lost reducer output must fail the job before the replace commit
+        # removes its input files (empty range buckets are fine; missing
+        # rows are not)
+        raise RuntimeError(
+            f"cluster rewrite row-count mismatch: {rewritten_rows} != {total_records}"
+        )
     removed = {e.path for e in entries}
     t_commit = time.time()
     table.commit_replace(removed, new_entries, operation="replace", summary={"job": job_id, "op": "cluster", "curve": curve})
@@ -387,5 +365,3 @@ def execute_cluster(
         "duration_ms": dur_ms,
         "phases": {k: round(v, 3) for k, v in phases.items()},
     }
-
-

@@ -360,6 +360,11 @@ def execute_compaction(
             ).collect()
         }
         phases["write"] = time.time() - t_write
+        missing = {g.group_id for g in pending} - set(job_stats)
+        if missing:
+            # a group without a rewrite result must fail the job, not
+            # silently drop its input files from the replace commit
+            raise RuntimeError(f"compaction job returned no output for groups {sorted(missing)[:5]}")
         tp = time.time()
 
         import uuid as _uuid

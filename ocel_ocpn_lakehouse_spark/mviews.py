@@ -81,6 +81,64 @@ class MaterializedViewManager:
     def refresh_all(self, spark: SparkSession) -> list[dict]:
         return [self.refresh(spark, n) for n in self.definitions]
 
+    # ---- scheduler (reference ops/view_refresh_scheduler.py:77-128) ----------
+    def scheduler_tick(self, spark: SparkSession, interval_s: float = 3600.0) -> dict:
+        """One scheduler pass: refresh every MV that is stale OR older than
+        ``interval_s`` since its last refresh, and return run stats
+        (reference tracks total/successful refreshes and durations,
+        view_refresh_scheduler.py:130-160). The reference wraps this in a
+        `schedule`-library daemon loop; here the tick is a pure function so
+        any orchestrator (cron, Airflow, a while-loop) can drive it —
+        the daemon loop itself is trivially `while True: tick(); sleep()`
+        via :func:`run_scheduler`."""
+        import time as _time
+
+        t0 = _time.time()
+        results = []
+        for name in self.definitions:
+            stale = self.is_stale(name)
+            aged = self.last_refresh_age_s(name)
+            due = stale or aged is None or aged >= interval_s
+            if due:
+                results.append(self.refresh(spark, name, force=not stale))
+            else:
+                results.append({"name": name, "status": "fresh"})
+        refreshed = [r for r in results if r["status"] == "refreshed"]
+        return {
+            "total": len(results),
+            "refreshed": len(refreshed),
+            "fresh": len(results) - len(refreshed),
+            "duration_s": round(_time.time() - t0, 3),
+            "results": results,
+        }
+
+    def last_refresh_age_s(self, name: str) -> float | None:
+        """Seconds since the MV's last refresh commit (None if never)."""
+        import time as _time
+
+        if not self.catalog.table_exists(name):
+            return None
+        snap = self.catalog.load_table(name).current_snapshot()
+        if snap is None:
+            return None
+        return _time.time() - snap.timestamp_ms / 1000.0
+
+    def run_scheduler(
+        self, spark: SparkSession, interval_s: float = 3600.0, max_ticks: int | None = None
+    ) -> list[dict]:
+        """The daemon loop (bounded for tests; unbounded in production)."""
+        import time as _time
+
+        stats = []
+        n = 0
+        while max_ticks is None or n < max_ticks:
+            stats.append(self.scheduler_tick(spark, interval_s))
+            n += 1
+            if max_ticks is not None and n >= max_ticks:
+                break
+            _time.sleep(interval_s)
+        return stats
+
     # ---- routing (M6) -----------------------------------------------------------
     def read_or_build(self, spark: SparkSession, name: str) -> DataFrame:
         """Query-time MV routing with recompute fallback (reference pattern:

@@ -129,9 +129,11 @@ GROUP BY o_orderpriority
 
 
 def q05_point_lookup(spark, sf_dir):
+    # single plan: the lookup key is a broadcast scalar join, not a
+    # separate .first() action (one job instead of two)
     li = _t(spark, sf_dir, "lineitem")
-    key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
-    return li.filter(F.col("l_orderkey") == key).select(
+    key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey").alias("l_orderkey"))
+    return li.join(F.broadcast(key), "l_orderkey").select(
         "l_orderkey", "l_linenumber", "l_partkey", F.round("l_quantity", 2).alias("qty")
     )
 

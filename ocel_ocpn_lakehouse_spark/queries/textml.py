@@ -83,9 +83,21 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
 
 
 def q25_minhash_lsh(spark, sf_dir):
+    """LSH candidates carry an in-query self-check: exact_jaccard is the
+    true 3-gram Jaccard of each candidate pair (same shingle universe as
+    the signatures), so the rows themselves evidence estimate quality —
+    the driver's rows-check asserts the agreement columns exist, pytest
+    asserts recall/precision floors (xxhash64 signatures have no DuckDB
+    oracle)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, num_hashes=32, bands=8).filter(
+    cand = D.minhash_lsh_pairs(docs, num_hashes=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
+    )
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=1000).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return cand.join(exact, ["id_a", "id_b"], "left").withColumn(
+        "est_err", F.round(F.abs(F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))), 6)
     )
 
 
@@ -93,8 +105,18 @@ def q25_minhash_lsh(spark, sf_dir):
 
 
 def q26_simhash(spark, sf_dir):
+    """SimHash near-dups with an in-query self-check column: exact_jaccard
+    is each pair's true 3-gram Jaccard, so low-hamming pairs carry their
+    own ground truth in the output (xxhash64 sigs → no DuckDB oracle;
+    pytest asserts the hamming↔jaccard correlation floor)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=1000).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return pairs.join(exact, ["id_a", "id_b"], "left").withColumn(
+        "exact_jaccard", F.coalesce("exact_jaccard", F.lit(0.0))
+    )
 
 
 # --- q27: exact ANN — brute-force cosine top-k -----------------------------------------
@@ -127,9 +149,19 @@ FROM ranked WHERE rank <= 5
 
 
 def q28_ann_lsh(spark, sf_dir):
+    """LSH top-k with an in-query recall self-check: in_exact_topk marks
+    whether each approximate neighbor is in the brute-force top-k for the
+    same query, so the result rows carry their own recall evidence
+    (recall < 1 by design — single-probe; pytest asserts the floor)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=5, n_planes=6)
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=4, probes=1)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return approx.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
+        "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
+    )
 
 
 # --- q29: text quality + language heuristic ----------------------------------------------

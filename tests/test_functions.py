@@ -176,3 +176,93 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # uncapped control: the hot shingle creates ~20*19/2 candidate pairs
     uncapped = D.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None).collect()
     assert len(uncapped) > len(pairs)
+
+
+def test_curve_key_numpy_parity(spark):
+    """The Arrow cluster rewrite recomputes curve keys in numpy; they must
+    be bit-identical to the Spark column expressions (zorder + hilbert +
+    hash fallback), else key-scan quantile boundaries would not cut the
+    numpy-keyed rows."""
+    from ocel_ocpn_lakehouse_spark.functions import zorder as Z
+
+    rng = np.random.default_rng(11)
+    n = 500
+    rows = [
+        (
+            f"img_{i:06d}",
+            int(rng.integers(-(2**63), 2**63 - 1)),
+            int(rng.integers(1, 4096)),
+            int(rng.integers(1, 4096)),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, w int, h int")
+
+    got = df.select(
+        "image_id",
+        Z.image_zorder_key().alias("zk"),
+        Z.image_hilbert_key().alias("hk"),
+        Z.hash_key_expr(["image_id", "w"]).alias("ck"),
+    ).collect()
+    by_id = {r["image_id"]: r for r in got}
+
+    ids = [r[0] for r in rows]
+    phash = np.array([r[1] for r in rows], dtype=np.int64).astype(np.uint64)
+    w = np.array([r[2] for r in rows], dtype=np.uint64)
+    h = np.array([r[3] for r in rows], dtype=np.uint64)
+    salt = Z.crc32_salt16_np(ids)
+    zk = Z.image_zorder_key_np(phash, w, h, salt)
+    hk = Z.image_hilbert_key_np(phash, w, h, salt)
+    ck = Z.hash_key_np([ids, [r[2] for r in rows]])
+
+    for i, _id in enumerate(ids):
+        assert by_id[_id]["zk"] == int(zk[i]), f"zorder mismatch at {_id}"
+        assert by_id[_id]["hk"] == int(hk[i]), f"hilbert mismatch at {_id}"
+        assert by_id[_id]["ck"] == int(ck[i]), f"hash mismatch at {_id}"
+
+
+def test_approx_query_self_checks(spark):
+    """q25/q26/q28 carry in-query ground-truth columns; assert quality
+    floors so the rows-only driver check is backed by pytest evidence."""
+    from ocel_ocpn_lakehouse_spark.queries import textml as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    r25 = Q.q25_minhash_lsh(spark, sf).collect()
+    assert r25
+    close = [r for r in r25 if r["est_err"] is not None and r["est_err"] <= 0.35]
+    assert len(close) >= 0.7 * len(r25), f"{len(close)}/{len(r25)} within 0.35"
+
+    # SimHash: recall of true near-dups when they exist; precision
+    # (bounded false-positive rate) when they don't. sf0.001 documents
+    # have NO jaccard>=0.9 pairs, so hamming<=3 collisions must be rare —
+    # the unigram-SimHash regression this guards against produced 1176
+    # flagged pairs (379 at hamming 0) on this very corpus.
+    # hamming<=3 over 64 bits ≈ cosine >= 0.989 ≈ jaccard ≳ 0.98 — that is
+    # the contract the recall floor checks (looser pairs are legitimately
+    # missed; the in-memory corpus test covers exact-dup recall directly)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    near_dups = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.98).collect()
+    }
+    moderate = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    r26 = Q.q26_simhash(spark, sf).collect()
+    flagged = {(r["id_a"], r["id_b"]) for r in r26}
+    if near_dups:
+        found = len(near_dups & flagged) / len(near_dups)
+        # hamming of a j=0.98 pair on ~56-shingle docs: E≈2.9, σ≈1.7 →
+        # a few such pairs legitimately land at hamming 4+; floor 0.8
+        assert found >= 0.8, f"simhash recall of jaccard>=0.98 pairs: {found}"
+    assert len(flagged - moderate) <= 0.001 * n_docs * (n_docs - 1) / 2, (
+        f"simhash pairs below jaccard 0.5: {len(flagged - moderate)}"
+    )
+
+    r28 = Q.q28_ann_lsh(spark, sf).collect()
+    assert r28
+    recall = sum(1 for r in r28 if r["in_exact_topk"]) / len(r28)
+    assert recall >= 0.3, f"LSH top-k agreement {recall}"

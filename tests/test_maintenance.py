@@ -145,7 +145,7 @@ def test_zorder_cluster_tightens_phash_bounds(spark, warehouse):
     t2.append(synth_images_df(spark, n_rows=N_ROWS, seed=42), num_files=N_FILES, distribution="fragment")
     execute_cluster(
         spark, t2, SystemTables(cat2.warehouse), "ocel.images",
-        key_column=F.xxhash64("image_id"),
+        curve="hash", key_cols=["image_id"],
     )
     t2.refresh()
     entries_ctl = t2.live_entries()

@@ -116,3 +116,40 @@ def test_mview_refresh_staleness_routing(spark, warehouse):
     assert not mgr.is_stale("ocel.fmt_stats")
     mv_rows = cat.load_table("ocel.fmt_stats").scan(spark).agg(F.sum("n")).first()[0]
     assert mv_rows == 80
+
+
+def test_mview_scheduler_tick(spark, warehouse):
+    """One scheduler pass refreshes stale MVs, skips fresh ones, and
+    forces an age-based refresh when the interval has elapsed
+    (reference daemon loop, ops/view_refresh_scheduler.py:77-128)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images", IMAGE_SCHEMA, TableSpec(partition_spec=PartitionSpec.bucket("image_id", 2))
+    )
+    t.append(synth_images_df(spark, n_rows=40, seed=5), num_files=2)
+
+    def build(spark_, base_df):
+        return base_df.groupBy("fmt").agg(F.count("*").alias("n"))
+
+    mgr = MaterializedViewManager(cat)
+    mgr.register(MVDefinition(name="ocel.fmt_counts", base="ocel.images", build=build))
+
+    s1 = mgr.scheduler_tick(spark, interval_s=3600)
+    assert s1["refreshed"] == 1 and s1["fresh"] == 0
+
+    s2 = mgr.scheduler_tick(spark, interval_s=3600)
+    assert s2["refreshed"] == 0 and s2["fresh"] == 1
+    assert mgr.last_refresh_age_s("ocel.fmt_counts") >= 0
+
+    # base moved → stale → next tick refreshes
+    t.append(synth_images_df(spark, n_rows=10, seed=6), num_files=1)
+    s3 = mgr.scheduler_tick(spark, interval_s=3600)
+    assert s3["refreshed"] == 1
+
+    # interval 0 → age-based refresh even when not stale
+    s4 = mgr.scheduler_tick(spark, interval_s=0.0)
+    assert s4["refreshed"] == 1
+
+    # bounded daemon loop runs the requested number of ticks
+    stats = mgr.run_scheduler(spark, interval_s=0.0, max_ticks=2)
+    assert len(stats) == 2
