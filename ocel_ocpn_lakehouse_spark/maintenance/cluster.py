@@ -195,11 +195,13 @@ def execute_cluster(
         (i, os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
         for i, e in enumerate(entries)
     ]
-    files_df = spark.createDataFrame(file_rows, "fidx int, path string, pkey string")
-    if len(file_rows) > 1:
-        files_df = files_df.repartitionByRange(
-            min(len(file_rows), 4 * int(spark.sparkContext.defaultParallelism)), "fidx"
-        )
+    # parallelize = exact task assignment with no sampling/shuffle sub-job;
+    # cap slices so a 10^5-tiny-file map still batches files per task
+    n_map = min(len(file_rows), max(4 * int(spark.sparkContext.defaultParallelism), 64))
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(file_rows, max(n_map, 1)),
+        "fidx int, path string, pkey string",
+    )
 
     def _map_shuffle(batches):
         import numpy as np
@@ -241,9 +243,10 @@ def execute_cluster(
     t_reduce = time.time()
     stats_cols = (table.stats_columns() or set()) | {ZKEY_COL}
     live_combos = sorted({r["cidx"] for r in map_acks})
-    combo_df = spark.createDataFrame([(c,) for c in live_combos], "cidx int")
-    if len(live_combos) > 1:
-        combo_df = combo_df.repartitionByRange(len(live_combos), "cidx")
+    combo_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(c,) for c in live_combos], max(len(live_combos), 1)),
+        "cidx int",
+    )
 
     def _reduce_write(batches):
         import pandas as pd

@@ -310,19 +310,26 @@ def execute_compaction(
         schema_names = table.schema.fieldNames()
         root = table.root
 
+        # LPT order: largest groups first so the last scheduling wave holds
+        # the smallest tasks (shrinks the straggler tail when #groups is a
+        # small multiple of the core count)
+        by_size = sorted(pending, key=lambda g: (-g.input_bytes, g.group_id))
         spec_rows = [
             (i, g.group_id, [os.path.join(root, p) for p in g.input_paths])
-            for i, g in enumerate(pending)
+            for i, g in enumerate(by_size)
         ]
+        # parallelize(n slices) = exactly one group per task with NO extra
+        # job (repartitionByRange would run a sampling sub-job + shuffle
+        # inside the timed rewrite; hash would collide groups into shared
+        # tasks)
         spec_df = spark.createDataFrame(
-            spec_rows, "gidx int, group_id string, paths array<string>"
+            spark.sparkContext.parallelize(spec_rows, max(len(spec_rows), 1)),
+            "gidx int, group_id string, paths array<string>",
         )
-        if len(pending) > 1:
-            # range partitioning on the dense 0..n-1 index ≈ identity: one
-            # group per task (hash would collide groups into shared tasks)
-            spec_df = spec_df.repartitionByRange(len(pending), "gidx")
 
         def _rewrite(batches):
+            import time as _time
+
             import pandas as pd
             import pyarrow as _pa
             import pyarrow.parquet as _pq
@@ -330,14 +337,18 @@ def execute_compaction(
             for pdf in batches:
                 out = []
                 for gid, paths in zip(pdf["group_id"], pdf["paths"]):
+                    tr = _time.time()
                     parts = [_pq.read_table(p, columns=schema_names) for p in paths]
                     tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
+                    ts_ = _time.time()
                     if sort_cols:
                         tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+                    tw = _time.time()
                     dest = os.path.join(staging, f"{gid}.parquet")
                     tmp = dest + ".inprogress"
                     _pq.write_table(tbl, tmp, compression=codec)
                     os.rename(tmp, dest)
+                    tst = _time.time()
                     st = mf.footer_stats(dest, stats_cols)
                     out.append(
                         {
@@ -347,6 +358,10 @@ def execute_compaction(
                             "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                             "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                             "null_counts": json.dumps(st["null_counts"]),
+                            "t_read": ts_ - tr,
+                            "t_sort": tw - ts_,
+                            "t_write": tst - tw,
+                            "t_stats": _time.time() - tst,
                         }
                     )
                 yield pd.DataFrame(out)
@@ -356,8 +371,15 @@ def execute_compaction(
             for r in spec_df.mapInPandas(
                 _rewrite,
                 "group_id string, size_bytes long, record_count long, "
-                "lower_bounds string, upper_bounds string, null_counts string",
+                "lower_bounds string, upper_bounds string, null_counts string, "
+                "t_read double, t_sort double, t_write double, t_stats double",
             ).collect()
+        }
+        # summed task-side phase seconds (cross-task concurrency means these
+        # exceed wall time; ratios localize where per-task time goes)
+        phases["task_totals"] = {  # type: ignore[assignment]
+            k: round(sum(r[k] for r in job_stats.values()), 2)
+            for k in ("t_read", "t_sort", "t_write", "t_stats")
         }
         phases["write"] = time.time() - t_write
         missing = {g.group_id for g in pending} - set(job_stats)
@@ -462,5 +484,7 @@ def execute_compaction(
         "rows": total_rows,
         "bytes": total_bytes,
         "duration_ms": dur_ms,
-        "phases": {k: round(v, 3) for k, v in phases.items()},
+        "phases": {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()
+        },
     }

@@ -1,0 +1,73 @@
+"""NL intent layer: classification table parity + dispatch results
+(reference agent/nl_query_agent.py:41-119 patterns, :166-254 parsing)."""
+
+from pyspark.sql import functions as F
+
+from ocel_ocpn_lakehouse_spark.agent import ask, classify_intent, extract_parameters
+
+
+CLASSIFY_CASES = {
+    "What are the most common process variants?": "process_variants",
+    "show me the top 5 variants please": "process_variants",
+    "How long do cases take on average?": "case_duration",
+    "find cases similar to case_id: 3": "similar_cases",
+    "Which activities happen most often?": "activity_frequencies",
+    "Can you identify bottlenecks in the process?": "bottlenecks",
+    "who is busiest this month": "resource_utilization",
+    "show the object lifecycle for object_id: 7": "object_lifecycle",
+    "how objects interact with each other": "object_interactions",
+    "run a conformance check over the log": "conformance",
+    "predict next activity for case_id: 3": "predictions",
+    "what is the completion probability here": "case_outcome",
+    "tell me a joke": None,
+}
+
+
+def _events(spark):
+    sf = "/root/testdata/sf0.001"
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def test_intent_classification_table():
+    for q, want in CLASSIFY_CASES.items():
+        assert classify_intent(q) == want, q
+
+
+def test_parameter_extraction():
+    p = extract_parameters("show me the top 7 variants with minimum frequency 3", "process_variants")
+    assert p == {"top_n": 7, "min_frequency": 3}
+    p = extract_parameters("find cases similar to case_id: 3", "similar_cases")
+    assert p == {"case_id": "3"}
+    p = extract_parameters("object lifecycle for object_id: 9", "object_lifecycle")
+    assert p == {"object_id": "9"}
+
+
+def test_dispatch_all_intents(spark):
+    ev = _events(spark)
+    questions = [q for q, want in CLASSIFY_CASES.items() if want]
+    for q in questions:
+        intent, params, df = ask(spark, ev, q)
+        assert intent is not None and df is not None, q
+        rows = df.collect()
+        assert rows, f"{q} → empty result"
+
+    # spot-check semantics
+    _, _, freq = ask(spark, ev, "Which activities happen most often?")
+    rows = freq.collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total == ev.count()
+    assert rows == sorted(rows, key=lambda r: (-r["n_events"], r["event_type"]))
+
+    _, _, var = ask(spark, ev, "show me the top 3 variants")
+    assert len(var.collect()) <= 3
+
+    _, _, pred = ask(spark, ev, "predict next activity for case_id: 3")
+    r = pred.collect()
+    assert len(r) == 1 and r[0]["case_id"] == 3 and r[0]["predicted_next"] is not None
+
+    _, _, out = ask(spark, ev, "what is the completion probability here")
+    for r in out.collect():
+        assert 0.0 <= r["p_outcome"] <= 1.0
+
+    unknown, params, df = ask(spark, ev, "tell me a joke")
+    assert unknown is None and df is None

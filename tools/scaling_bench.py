@@ -129,10 +129,25 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
         rows = sum(e.record_count for e in t.live_entries())
         st = SystemTables(cat.warehouse)
 
-        # warmup (untimed): one full-scan aggregate
+        # warmup (untimed): one full-scan aggregate (JVM codegen/classloader)
         t.scan(spark).agg(
             F.sum(F.xxhash64("image_id").cast("decimal(38,0)")).alias("w")
         ).first()
+
+        # warm the Python worker pool too: the maintenance jobs are Arrow
+        # mapInPandas tasks, and the FIRST python job in a session pays
+        # worker spawn + pandas/pyarrow imports (~0.5-1 s per worker) —
+        # amortized away on a long-lived cluster, so it belongs in warmup
+        def _warm(batches):
+            import numpy  # noqa: F401
+            import pandas as pd
+            import pyarrow  # noqa: F401
+            import pyarrow.parquet  # noqa: F401
+
+            for b in batches:
+                yield pd.DataFrame({"id": b["id"]})
+
+        spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(_warm, "id long").count()
 
         t0 = time.time()
         res_c = execute_compaction(spark, t, st, "bench.images")
