@@ -37,6 +37,100 @@ from .compact import _norm_path_py, _norm_path_sql
 BROADCAST_THRESHOLD_ROWS = 2_000_000  # source keys; ~16 MB of longs
 
 
+def _rewrite_touched_arrow(spark, table, touched_entries, src_keys_df, key):
+    """Per-file survivor rewrite via Arrow tasks (no shuffle).
+
+    Returns (manifest entries for the survivor files, survivor row count).
+    The source key set is an executor broadcast; each task set-filters one
+    file's rows in Arrow and writes the survivor file + footer stats."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..core import manifests as mf
+
+    keys_b = spark.sparkContext.broadcast({r[0] for r in src_keys_df.collect()})
+    staging = table._stage_dir()
+    schema_names = table.schema.fieldNames()
+    stats_cols = table.stats_columns()
+    codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
+    codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
+    specs = [
+        (i, os.path.join(table.root, e.path)) for i, e in enumerate(touched_entries)
+    ]
+
+    def _task(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kset = keys_b.value
+        for pdf in batches:
+            out = []
+            for fidx, path in zip(pdf["fidx"], pdf["path"]):
+                tbl = pq.read_table(path, columns=schema_names)
+                kvals = tbl[key].to_pylist()
+                mask = np.fromiter((k not in kset for k in kvals), bool, count=len(kvals))
+                surv = tbl.filter(pa.array(mask))
+                if surv.num_rows == 0:
+                    continue  # whole file consumed by the merge
+                dest = os.path.join(staging, f"m{fidx}.parquet")
+                pq.write_table(surv, dest + ".tmp", compression=codec)
+                os.rename(dest + ".tmp", dest)
+                st = mf.footer_stats(dest, stats_cols)
+                out.append(
+                    {
+                        "fidx": int(fidx),
+                        "size_bytes": os.path.getsize(dest),
+                        "record_count": st["record_count"],
+                        "lower_bounds": json.dumps(st["lower_bounds"], default=str),
+                        "upper_bounds": json.dumps(st["upper_bounds"], default=str),
+                        "null_counts": json.dumps(st["null_counts"]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["fidx", "size_bytes", "record_count", "lower_bounds",
+                         "upper_bounds", "null_counts"],
+            )
+
+    spec_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(specs, max(len(specs), 1)), "fidx int, path string"
+    )
+    rows = spec_df.mapInPandas(
+        _task,
+        "fidx int, size_bytes long, record_count long, "
+        "lower_bounds string, upper_bounds string, null_counts string",
+    ).collect()
+
+    os.makedirs(table.data_dir, exist_ok=True)
+    entries = []
+    n_rows = 0
+    for r in rows:
+        e_in = touched_entries[r["fidx"]]
+        pdir = "/".join(f"{k}={v}" for k, v in sorted(e_in.partition.items()))
+        destdir = os.path.join(table.data_dir, pdir) if pdir else table.data_dir
+        os.makedirs(destdir, exist_ok=True)
+        dest = os.path.join(destdir, f"{_uuid.uuid4().hex[:8]}-m{r['fidx']}.parquet")
+        os.rename(os.path.join(staging, f"m{r['fidx']}.parquet"), dest)
+        entries.append(
+            mf.ManifestEntry(
+                path=os.path.relpath(dest, table.root),
+                partition=e_in.partition,
+                size_bytes=r["size_bytes"],
+                record_count=r["record_count"],
+                lower_bounds=json.loads(r["lower_bounds"]),
+                upper_bounds=json.loads(r["upper_bounds"]),
+                null_counts=json.loads(r["null_counts"]),
+            )
+        )
+        n_rows += r["record_count"]
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries, n_rows
+
+
 def merge_into(
     spark: SparkSession,
     table: Table,
@@ -96,25 +190,48 @@ def merge_into(
         norm_to_entry = {_norm_path_py(os.path.join(table.root, e.path)): e for e in entries}
         touched_entries = [norm_to_entry[n] for n in sorted(touched_norm)]
 
-        # --- 3: rewrite touched rows + all upserts
+        # --- 3: rewrite touched files + write all upserts
         upserts = src.filter(F.col(op_col) == "upsert").select(*data_cols)
-        if touched_entries:
+        new_entries: list = []
+        n_new_rows = 0
+
+        if touched_entries and n_src <= BROADCAST_THRESHOLD_ROWS:
+            # Arrow per-file CoW (the common case): broadcast the source key
+            # set, and each task reads ONE touched file with pyarrow, drops
+            # rows whose key is in the set (upsert & delete keys both leave
+            # the old file), writes the survivor file and returns stats.
+            # No shuffle, no JVM row pipeline — same shape as the compact
+            # rewrite, and the file-granularity CoW Iceberg uses. Survivor
+            # files stay near target size (they lose only matched rows);
+            # routine compaction handles any shrinkage.
+            new_entries, n_surv = _rewrite_touched_arrow(
+                spark, table, touched_entries, src_keys_df=src.select(key).distinct(), key=key
+            )
+            n_new_rows += n_surv
+        elif touched_entries:
+            # huge-source fallback: distributed anti-join (keys don't fit a
+            # broadcast) + re-bin to target-size files
             touched_paths = [os.path.join(table.root, e.path) for e in touched_entries]
             touched_df = spark.read.schema(table.schema).parquet(*touched_paths)
-            anti_keys = src_keys  # both upsert & delete keys drop out of target
-            survivors = touched_df.join(anti_keys, key, "left_anti")
-            rewritten = survivors.unionByName(upserts)
-        else:
-            rewritten = upserts
+            survivors = touched_df.join(src.select(key).distinct(), key, "left_anti")
+            n_surv = survivors.count()
+            if n_surv:
+                n_files = max(
+                    1,
+                    -(-sum(e.size_bytes for e in touched_entries) // table.target_file_size),
+                )
+                new_entries = table.write_data_files(survivors, num_files=int(n_files))
+            n_new_rows += n_surv
 
-        n_new_rows = rewritten.count()
-        new_entries = []
-        if n_new_rows:
-            n_files = max(
-                1,
-                -(-sum(e.size_bytes for e in touched_entries) // table.target_file_size),
-            )
-            new_entries = table.write_data_files(rewritten, num_files=int(n_files))
+        n_upserts = upserts.count()
+        if n_upserts:
+            live = table.live_entries()
+            avg_row = (
+                sum(e.size_bytes for e in live) / max(1, sum(e.record_count for e in live))
+            ) if live else 8192
+            n_files = max(1, -(-int(n_upserts * avg_row) // table.target_file_size))
+            new_entries = new_entries + table.write_data_files(upserts, num_files=int(n_files))
+            n_new_rows += n_upserts
 
         snap = table.commit_replace(
             {e.path for e in touched_entries},

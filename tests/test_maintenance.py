@@ -343,3 +343,35 @@ def test_distributed_planner_parity_and_scale(spark, warehouse):
     assert sum(len(g.input_paths) for g in groups) == 50_000
     target = big.target_file_size
     assert all(g.input_bytes <= target for g in groups)
+
+
+def test_merge_huge_source_fallback(spark, warehouse, monkeypatch):
+    """Sources above the broadcast threshold take the distributed anti-join
+    path; results must match the Arrow per-file path bit-for-bit."""
+    import pandas as pd
+
+    from ocel_ocpn_lakehouse_spark.maintenance import merge as M
+
+    cat, t = fragmented_table(spark, warehouse, n_rows=150, n_files=6)
+    source = synth_merge_source_df(spark, n_target_rows=150, seed=7)
+
+    tgt_pd = t.scan(spark).select("image_id", "caption", "phash").toPandas()
+    src_pd = source.select("image_id", "caption", "phash", "_op").toPandas()
+    del_ids = set(src_pd[src_pd._op == "delete"].image_id)
+    ups = src_pd[src_pd._op == "upsert"]
+    expected = tgt_pd[~tgt_pd.image_id.isin(set(ups.image_id) | del_ids)]
+    expected = pd.concat([expected, ups[["image_id", "caption", "phash"]]])
+    expected = expected.sort_values("image_id").reset_index(drop=True)
+
+    monkeypatch.setattr(M, "BROADCAST_THRESHOLD_ROWS", 0)  # force fallback
+    res = M.merge_into(spark, t, source, key="image_id")
+    assert res["status"] == "committed"
+    t.refresh()
+    got = (
+        t.scan(spark)
+        .select("image_id", "caption", "phash")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected)
