@@ -1,0 +1,108 @@
+"""TTL result cache — the reference's query-optimizer cache, upgraded.
+
+Reference: agent/query_optimizer.py:84-156 keeps an in-process dict of
+query results keyed by md5(query_type, sorted params) with a TTL check
+(:147-156) — the cache dies with the process and never serves a second
+driver. Here the cached result is a parquet table under the warehouse's
+``_system/result_cache`` with a sidecar meta file (key, created_at, ttl,
+row count), so any session against the warehouse shares hits, expiry is
+by file mtime + recorded ttl, and reading a hit is a normal distributed
+scan (a cached result bigger than driver memory still works).
+
+The reference's other optimizer duties are intentionally NOT mirrored:
+cost estimation, join-strategy choice and partition pruning are
+Catalyst/AQE's job (SURVEY §4.1); MV routing lives in ``mviews.py`` (M6).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cache_key(query_type: str, parameters: dict | None = None) -> str:
+    """Deterministic key: md5 over (type, sorted params) — reference
+    :138-146 exactly."""
+    key_data = {
+        "query_type": query_type,
+        "parameters": sorted(parameters.items()) if parameters else [],
+    }
+    return hashlib.md5(json.dumps(key_data, sort_keys=True, default=str).encode()).hexdigest()
+
+
+class ResultCache:
+    def __init__(self, warehouse: str, ttl_s: float = 3600.0):
+        self.root = os.path.join(warehouse, "_system", "result_cache")
+        self.ttl_s = ttl_s
+        self.stats = {"hits": 0, "misses": 0, "expired": 0}
+        os.makedirs(self.root, exist_ok=True)
+
+    def _paths(self, key: str) -> tuple[str, str]:
+        return os.path.join(self.root, key), os.path.join(self.root, f"{key}.meta.json")
+
+    def lookup(self, spark: SparkSession, key: str) -> DataFrame | None:
+        ddir, meta = self._paths(key)
+        if not os.path.isfile(meta):
+            self.stats["misses"] += 1
+            return None
+        with open(meta) as f:
+            m = json.load(f)
+        # effective TTL = the stricter of writer-recorded and reader policy
+        ttl = min(m.get("ttl_s", self.ttl_s), self.ttl_s)
+        if time.time() - m["created_at"] > ttl:
+            self.stats["expired"] += 1
+            self.invalidate(key)
+            return None
+        self.stats["hits"] += 1
+        return spark.read.parquet(ddir)
+
+    def store(self, df: DataFrame, key: str, ttl_s: float | None = None) -> DataFrame:
+        ddir, meta = self._paths(key)
+        tmp = ddir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(ddir, ignore_errors=True)
+        os.rename(tmp, ddir)
+        with open(meta + ".tmp", "w") as f:
+            json.dump({"key": key, "created_at": time.time(), "ttl_s": ttl_s or self.ttl_s}, f)
+        os.rename(meta + ".tmp", meta)
+        return df.sparkSession.read.parquet(ddir)
+
+    def get_or_compute(
+        self,
+        spark: SparkSession,
+        query_type: str,
+        parameters: dict | None,
+        build,
+        ttl_s: float | None = None,
+    ) -> DataFrame:
+        """Cached query entry point: returns the cached DataFrame when
+        fresh, else runs ``build()`` and persists its result."""
+        key = cache_key(query_type, parameters)
+        hit = self.lookup(spark, key)
+        if hit is not None:
+            return hit
+        return self.store(build(), key, ttl_s)
+
+    def invalidate(self, key: str) -> None:
+        ddir, meta = self._paths(key)
+        shutil.rmtree(ddir, ignore_errors=True)
+        if os.path.isfile(meta):
+            os.remove(meta)
+
+    def sweep_expired(self) -> int:
+        """Drop every expired entry; returns how many were removed."""
+        n = 0
+        for meta in glob.glob(os.path.join(self.root, "*.meta.json")):
+            with open(meta) as f:
+                m = json.load(f)
+            if time.time() - m["created_at"] > m.get("ttl_s", self.ttl_s):
+                self.invalidate(m["key"])
+                n += 1
+        return n

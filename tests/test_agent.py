@@ -71,3 +71,45 @@ def test_dispatch_all_intents(spark):
 
     unknown, params, df = ask(spark, ev, "tell me a joke")
     assert unknown is None and df is None
+
+
+def test_result_cache_ttl(spark, tmp_path):
+    """TTL result cache: hit within ttl, recompute after expiry, shared
+    across sessions via the warehouse (reference query_optimizer.py:84-156
+    keeps it in-process only)."""
+    import time
+
+    from ocel_ocpn_lakehouse_spark.agent.result_cache import ResultCache, cache_key
+
+    wh = str(tmp_path / "wh")
+    rc = ResultCache(wh, ttl_s=3600)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    r1 = rc.get_or_compute(spark, "range5", {"k": 1}, build)
+    assert r1.count() == 5 and calls["n"] == 1
+    r2 = rc.get_or_compute(spark, "range5", {"k": 1}, build)
+    assert r2.count() == 5 and calls["n"] == 1  # cache hit, no recompute
+    assert rc.stats["hits"] == 1
+
+    # different params → different key → recompute
+    rc.get_or_compute(spark, "range5", {"k": 2}, build)
+    assert calls["n"] == 2
+
+    # a new cache object over the same warehouse shares the hit
+    rc2 = ResultCache(wh, ttl_s=3600)
+    rc2.get_or_compute(spark, "range5", {"k": 1}, build)
+    assert calls["n"] == 2
+
+    # expiry: zero ttl forces recompute + sweep removes the entry
+    rc3 = ResultCache(wh, ttl_s=0.0)
+    time.sleep(0.01)
+    rc3.get_or_compute(spark, "range5", {"k": 1}, build)
+    assert calls["n"] == 3
+    assert rc3.sweep_expired() >= 1
+
+    assert cache_key("a", {"x": 1}) != cache_key("a", {"x": 2})
+    assert cache_key("a", {"x": 1}) == cache_key("a", {"x": 1})
