@@ -84,3 +84,55 @@ def test_ocel_json_source(spark, tmp_path):
     assert attrs["items"]["val_type"] == "long" and attrs["items"]["val_long"] == 3
     assert attrs["express"]["val_type"] == "boolean" and attrs["express"]["val_boolean"] is True
     assert tables["objects"].count() == 2
+
+
+def test_streaming_ingest_then_maintenance_e2e(spark, tmp_path):
+    """The production loop: micro-batched image ingest fragments the table;
+    compaction + clustering heal it; scans stay equivalent and time travel
+    reproduces every ingest epoch (SURVEY §2.11 + north-rule resume)."""
+    from ocel_ocpn_lakehouse_spark.core import SortOrder
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA, synth_images_df
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+    from ocel_ocpn_lakehouse_spark.maintenance.verify import verify_checksum_equivalence
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "ns.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(512 * 1024),
+                "compact.small-file-bytes": str(128 * 1024),
+            },
+        ),
+    )
+    # three micro-batch drops → three epochs of small files
+    for lo, hi in ((0, 60), (60, 110), (110, 150)):
+        synth_images_df(spark, n_rows=hi, seed=9).filter(
+            F.col("image_id") >= f"img_{lo:012d}"
+        ).repartition(3).write.mode("overwrite").parquet(str(src / f"b{lo}"))
+        stream_append(spark, t, str(src / "*"), IMAGE_SCHEMA, ckpt, stream_id="img")
+        t.refresh()
+    assert t.scan(spark).count() == 150
+    pre_snap = t.current_snapshot().snapshot_id
+    files_before = len(t.live_entries())
+
+    st = SystemTables(cat.warehouse)
+    execute_compaction(spark, t, st, "ns.images")
+    t.refresh()
+    execute_cluster(spark, t, st, "ns.images", curve="zorder")
+    t.refresh()
+    assert len(t.live_entries()) < files_before
+    v = verify_checksum_equivalence(spark, t, pre_snap)
+    assert v["passed"] and v["rows"] == 150
+    # every ingest epoch remains reproducible
+    for s in t.snapshots():
+        if "stream-epoch" in s.summary:
+            assert t.scan(spark, snapshot_id=s.snapshot_id).count() > 0
