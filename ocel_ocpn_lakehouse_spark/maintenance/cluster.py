@@ -209,6 +209,8 @@ def execute_cluster(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        pa.set_cpu_count(1)  # one Arrow thread per one-core task
+
         for pdf in batches:
             out = []
             for fidx, path, pkey in zip(pdf["fidx"], pdf["path"], pdf["pkey"]):
@@ -252,6 +254,8 @@ def execute_cluster(
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)  # one Arrow thread per one-core task
 
         for pdf in batches:
             out = []

@@ -334,6 +334,12 @@ def execute_compaction(
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
+            # one Arrow thread per worker: each task already owns one core;
+            # the default per-process pool (=machine cpu count) makes 16
+            # workers spawn 16x32 threads and thrash the cpuset
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(2)
+
             for pdf in batches:
                 out = []
                 for gid, paths in zip(pdf["group_id"], pdf["paths"]):

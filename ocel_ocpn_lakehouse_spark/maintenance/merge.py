@@ -66,6 +66,8 @@ def _rewrite_touched_arrow(spark, table, touched_entries, src_keys_df, key):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        pa.set_cpu_count(1)  # one Arrow thread per one-core task
+
         kset = keys_b.value
         for pdf in batches:
             out = []

@@ -117,7 +117,10 @@ def _snapshot_checksum(spark: SparkSession, table: Table, snap_id: int | None, k
         import hashlib
 
         import pandas as pd
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)  # one Arrow thread per one-core task
 
         for pdf in batches:
             out = []
