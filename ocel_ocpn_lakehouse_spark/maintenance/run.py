@@ -75,41 +75,58 @@ def main(argv=None) -> int:
         print(json.dumps(report))
         return 0
 
-    t = cat.load_table(args.table)
+    def maintain_one(table_name: str) -> dict:
+        rep: dict = {"table": table_name}
+        t = cat.load_table(table_name)
 
-    if args.op in ("health", "full"):
-        h = analyze_table_health(spark, t, args.table)
-        report["health"] = h.to_dict()
-        report["schedule"] = maintenance_schedule(h.health_score)
-        report["retention"] = retention_analysis(t)
+        if args.op in ("health", "full"):
+            h = analyze_table_health(spark, t, table_name)
+            rep["health"] = h.to_dict()
+            rep["schedule"] = maintenance_schedule(h.health_score)
+            rep["retention"] = retention_analysis(t)
 
-    if args.op in ("compact", "full"):
-        plan = plan_compaction(t)
-        report["compaction_plan_groups"] = len(plan)
-        report["compaction"] = execute_compaction(
-            spark, t, sys_tables, args.table, groups=plan
-        )
+        if args.op in ("compact", "full"):
+            plan = plan_compaction(t)
+            rep["compaction_plan_groups"] = len(plan)
+            rep["compaction"] = execute_compaction(
+                spark, t, sys_tables, table_name, groups=plan
+            )
 
-    if args.op in ("cluster", "full"):
-        report["cluster"] = execute_cluster(
-            spark, t.refresh(), sys_tables, args.table, curve=args.curve
-        )
+        if args.op in ("cluster", "full"):
+            rep["cluster"] = execute_cluster(
+                spark, t.refresh(), sys_tables, table_name, curve=args.curve
+            )
 
-    if args.op == "expire":
-        report["expire"] = expire_snapshots(
-            spark,
-            t,
-            sys_tables,
-            args.table,
-            retention_days=args.retention_days,
-            keep_last=args.keep_last,
-        )
+        if args.op == "expire":
+            rep["expire"] = expire_snapshots(
+                spark,
+                t,
+                sys_tables,
+                table_name,
+                retention_days=args.retention_days,
+                keep_last=args.keep_last,
+            )
 
-    if args.op == "orphans":
-        report["orphans"] = sweep_orphans(t)
+        if args.op == "orphans":
+            rep["orphans"] = sweep_orphans(t)
 
-    if args.op in ("quality", "full"):
-        report["quality"] = quality_report(t.refresh().scan(spark))
+        if args.op in ("quality", "full"):
+            rep["quality"] = quality_report(t.refresh().scan(spark))
+        return rep
+
+    if args.table == "all":
+        # whole-warehouse pass (the reference's scheduler maintains its 20
+        # tables; here: every table of every namespace, one report each)
+        import os as _os
+
+        tables = []
+        for ns in sorted(_os.listdir(cat.warehouse)):
+            if ns.startswith("_") or not _os.path.isdir(_os.path.join(cat.warehouse, ns)):
+                continue
+            tables.extend(cat.list_tables(ns))
+        report["tables"] = [maintain_one(name) for name in tables]
+    else:
+        report.update(maintain_one(args.table))
 
     print(json.dumps(report, default=str))
     return 0
