@@ -142,6 +142,19 @@ def build_process_variants(events: DataFrame, sample_ids: int = 10) -> DataFrame
     )
 
 
+def build_conformance(events: DataFrame) -> DataFrame:
+    """Conformance per process instance over the OCEL-shaped log
+    (reference analytics/conformance_checking.py, driven per-instance in
+    Python there; one Catalyst plan here via queries/conformance.py).
+    Case = request_id, activity = type, order = (time, id)."""
+    from .conformance import conformance_per_case
+
+    ev = events.withColumn("ts_us", F.unix_micros(F.col("time")))
+    return conformance_per_case(
+        ev, case_col="request_id", act_col="type", order_cols=("ts_us", "id")
+    )
+
+
 # ---- the reference's validation checks (production_validation.py) ---------------
 
 

@@ -103,3 +103,20 @@ def test_reference_mvs_over_engine_tables(spark, warehouse):
     # MV routing serves the fresh MV (M6)
     routed = mgr.read_or_build(spark, "ocel.activity_metrics")
     assert routed.count() == am.count()
+
+
+def test_conformance_over_ocel_fixture(spark, warehouse):
+    """Conformance runs over the OCEL-shaped fixture: ~5-step order flow
+    instances mostly follow the common DFG, so the summary should show a
+    high conformance rate and sensible fitness bounds."""
+    from ocel_ocpn_lakehouse_spark.queries.conformance import conformance_summary
+    from ocel_ocpn_lakehouse_spark.queries.ocel_parity import build_conformance, synth_ocel_events
+
+    ev = synth_ocel_events(spark, n_events=1500, seed=11)
+    per_case = build_conformance(ev)
+    rows = per_case.collect()
+    assert rows and all(0.0 <= r["fitness"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    s = conformance_summary(per_case).first()
+    assert s["total_instances"] == len(rows)
+    assert s["avg_fitness"] > 0.5  # the fixture's flow is mostly regular
