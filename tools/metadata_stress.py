@@ -1,0 +1,94 @@
+"""Metadata-scale stress: EXECUTE a compaction over ~100k real files.
+
+The 10^12-row design point means 10^5-10^7 data files. Planning at that
+scale is covered by the distributed planner test; this tool proves the
+EXECUTION path end-to-end: 100k tiny parquet files → distributed FFD
+plan → one Arrow rewrite job (hundreds of groups, each reading hundreds
+of files) → single replace-snapshot commit → scan equivalence. Reports
+where the time goes and peak driver RSS.
+
+Usage: python tools/metadata_stress.py [n_files] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TMPBASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, TableSpec
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+    from ocel_ocpn_lakehouse_spark.session import get_spark
+
+    wh = tempfile.mkdtemp(prefix="stress_wh_", dir=TMPBASE)
+    spark = get_spark("metadata-stress", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cat = Catalog(wh)
+        t = cat.create_table(
+            "stress.rows",
+            spark.range(1).selectExpr("id", "cast(id as string) payload").schema,
+            TableSpec(
+                partition_spec=PartitionSpec.bucket("id", 8),
+                properties={
+                    "write.target-file-size-bytes": str(256 * 1024),
+                    "compact.small-file-bytes": str(64 * 1024),
+                },
+            ),
+        )
+        t0 = time.time()
+        # ~n_files tiny files: 'fragment' writes one file per (task,bucket)
+        df = spark.range(n_files * 4).selectExpr("id", "repeat(cast(id as string), 40) payload")
+        t.append(df, num_files=max(16, n_files // 8), distribution="fragment")
+        gen_s = time.time() - t0
+        files = len(t.live_entries())
+        rows_before = t.scan(spark).count()
+
+        t1 = time.time()
+        res = execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
+        compact_s = time.time() - t1
+        t.refresh()
+        rows_after = t.scan(spark).count()
+        rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+        out = {
+            "requested_files": n_files,
+            "actual_files": files,
+            "files_after": len(t.live_entries()),
+            "groups": res["groups"],
+            "rows": rows_before,
+            "rows_match": rows_before == rows_after,
+            "gen_s": round(gen_s, 1),
+            "compact_s": round(compact_s, 1),
+            "compact_phases": res["phases"],
+            "driver_maxrss_gb": round(rss_gb, 2),
+            "status": res["status"],
+        }
+        print(json.dumps(out))
+        assert out["rows_match"] and out["files_after"] < files
+        return 0
+    finally:
+        spark.stop()
+        import shutil
+
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
