@@ -48,7 +48,11 @@ class ResultCache:
 
     def lookup(self, spark: SparkSession, key: str) -> DataFrame | None:
         ddir, meta = self._paths(key)
-        if not os.path.isfile(meta):
+        # meta without data = a crash between invalidate's rmtree and the
+        # meta unlink (or a concurrent expiry) → treat as a miss, clean up
+        if not os.path.isfile(meta) or not os.path.isdir(ddir):
+            if os.path.isfile(meta):
+                self.invalidate(key)
             self.stats["misses"] += 1
             return None
         with open(meta) as f:
@@ -97,12 +101,15 @@ class ResultCache:
             os.remove(meta)
 
     def sweep_expired(self) -> int:
-        """Drop every expired entry; returns how many were removed."""
+        """Drop every expired entry (same effective-TTL rule as lookup:
+        the stricter of writer-recorded and this cache's policy); returns
+        how many were removed."""
         n = 0
         for meta in glob.glob(os.path.join(self.root, "*.meta.json")):
             with open(meta) as f:
                 m = json.load(f)
-            if time.time() - m["created_at"] > m.get("ttl_s", self.ttl_s):
+            ttl = min(m.get("ttl_s", self.ttl_s), self.ttl_s)
+            if time.time() - m["created_at"] > ttl:
                 self.invalidate(m["key"])
                 n += 1
         return n

@@ -104,6 +104,42 @@ def read_manifests(metadata_dir: str, names: Iterable[str]) -> list[ManifestEntr
     return out
 
 
+# ---- schema-evolution-aware Arrow reads --------------------------------------
+
+
+def read_table_nullfill(path: str, arrow_schema) -> "pa.Table":
+    """pyarrow read honoring additive schema evolution (T8).
+
+    Files written before ``Table.add_column`` lack the new column;
+    ``pq.read_table(columns=...)`` raises ArrowInvalid for them, while the
+    engine contract (core/table.py add_column: "existing files null-fill
+    on read") requires a null column. Read the intersection, then append
+    null columns for missing fields, and return columns in table-schema
+    order. Every Arrow maintenance task (compact/cluster/merge/verify)
+    reads through this."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    want = [f.name for f in arrow_schema]
+    tbl = pf.read(columns=[c for c in want if c in present])
+    n = tbl.num_rows
+    for f in arrow_schema:
+        if f.name not in present:
+            tbl = tbl.append_column(f.name, _pa.nulls(n, type=f.type))
+    # cast to the canonical schema: per-file nullability/metadata quirks
+    # would otherwise make concat_tables over mixed-era files fail
+    return tbl.select(want).cast(_pa.schema([(f.name, f.type) for f in arrow_schema]))
+
+
+def spark_to_arrow_schema(spark_schema):
+    """Spark StructType → pyarrow schema (driver-side, for task closures)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
 # ---- distributed footer-stats collection ------------------------------------
 
 # Parquet logical types we track bounds for; binary payloads are skipped

@@ -272,10 +272,22 @@ def hash_key_expr(cols: list[str]) -> Column:
 
 
 def hash_key_np(arrays: list) -> np.ndarray:
+    """numpy mirror of :func:`hash_key_expr` — must match Spark's
+    ``concat_ws`` semantics exactly: NULL values are skipped entirely (no
+    separator emitted for them) and booleans render as 'true'/'false'.
+    Float rendering differences are a documented limitation of the hash
+    fallback (prefer int/string key columns)."""
     import zlib
 
+    def fmt(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     n = len(arrays[0])
-    joined = ("\x1f".join(str(a[i]) for a in arrays) for i in range(n))
+    joined = (
+        "\x1f".join(fmt(a[i]) for a in arrays if a[i] is not None) for i in range(n)
+    )
     return np.fromiter(
         (zlib.crc32(s.encode("utf-8")) for s in joined), dtype=np.int64, count=n
     )

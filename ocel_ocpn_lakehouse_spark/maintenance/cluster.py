@@ -186,7 +186,7 @@ def execute_cluster(
     os.makedirs(shuffle_dir, exist_ok=True)
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
-    schema_names = table.schema.fieldNames()
+    arrow_schema = mf.spark_to_arrow_schema(table.schema)
     root = table.root
 
     # --- 2. MAP: Arrow file-level shuffle write ---------------------------
@@ -214,7 +214,7 @@ def execute_cluster(
         for pdf in batches:
             out = []
             for fidx, path, pkey in zip(pdf["fidx"], pdf["path"], pdf["pkey"]):
-                tbl = pq.read_table(path, columns=schema_names)
+                tbl = mf.read_table_nullfill(path, arrow_schema)
                 zkey = _curve_np(cspec, tbl)
                 tbl = tbl.append_column(ZKEY_COL, pa.array(zkey, type=pa.int64()))
                 bounds = np.asarray(bounds_by_pkey.get(pkey, []), dtype=np.int64)
@@ -229,9 +229,13 @@ def execute_cluster(
                     cdir = os.path.join(shuffle_dir, f"c{cidx}")
                     os.makedirs(cdir, exist_ok=True)
                     frag = os.path.join(cdir, f"f{fidx}.parquet")
+                    # attempt-unique tmp + atomic rename: a dead/speculative
+                    # task attempt can never leave a partial file under the
+                    # final name or race another attempt's tmp
+                    tmp = f"{frag}.{os.getpid()}.inprogress"
                     # fragments are intermediate: cheapest codec wins
-                    pq.write_table(part, frag + ".tmp", compression="lz4")
-                    os.rename(frag + ".tmp", frag)
+                    pq.write_table(part, tmp, compression="lz4")
+                    os.rename(tmp, frag)
                     out.append({"fidx": int(fidx), "cidx": int(cidx), "rows": len(part)})
             yield pd.DataFrame(out, columns=["fidx", "cidx", "rows"])
 
@@ -261,13 +265,16 @@ def execute_cluster(
             out = []
             for cidx in pdf["cidx"]:
                 cdir = os.path.join(shuffle_dir, f"c{cidx}")
-                frags = sorted(os.listdir(cdir))
+                # only committed fragments — a crashed attempt's .inprogress
+                # must never be ingested
+                frags = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
                 parts = [pq.read_table(os.path.join(cdir, f)) for f in frags]
                 tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
                 tbl = tbl.sort_by([(ZKEY_COL, "ascending")])
                 dest = os.path.join(staging, f"c{cidx}.parquet")
-                pq.write_table(tbl, dest + ".tmp", compression=codec)
-                os.rename(dest + ".tmp", dest)
+                tmp = f"{dest}.{os.getpid()}.inprogress"  # attempt-unique
+                pq.write_table(tbl, tmp, compression=codec)
+                os.rename(tmp, dest)
                 st = mf.footer_stats(dest, stats_cols)
                 out.append(
                     {

@@ -307,7 +307,7 @@ def execute_compaction(
         stats_cols = table.stats_columns()
         codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
         codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
-        schema_names = table.schema.fieldNames()
+        arrow_schema = mf.spark_to_arrow_schema(table.schema)
         root = table.root
 
         # LPT order: largest groups first so the last scheduling wave holds
@@ -344,14 +344,14 @@ def execute_compaction(
                 out = []
                 for gid, paths in zip(pdf["group_id"], pdf["paths"]):
                     tr = _time.time()
-                    parts = [_pq.read_table(p, columns=schema_names) for p in paths]
+                    parts = [mf.read_table_nullfill(p, arrow_schema) for p in paths]
                     tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
                     ts_ = _time.time()
                     if sort_cols:
                         tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
                     tw = _time.time()
                     dest = os.path.join(staging, f"{gid}.parquet")
-                    tmp = dest + ".inprogress"
+                    tmp = f"{dest}.{os.getpid()}.inprogress"  # attempt-unique
                     _pq.write_table(tbl, tmp, compression=codec)
                     os.rename(tmp, dest)
                     tst = _time.time()

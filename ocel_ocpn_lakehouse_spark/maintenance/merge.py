@@ -37,12 +37,16 @@ from .compact import _norm_path_py, _norm_path_sql
 BROADCAST_THRESHOLD_ROWS = 2_000_000  # source keys; ~16 MB of longs
 
 
-def _rewrite_touched_arrow(spark, table, touched_entries, src_keys_df, key):
+def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
     """Per-file survivor rewrite via Arrow tasks (no shuffle).
 
     Returns (manifest entries for the survivor files, survivor row count).
-    The source key set is an executor broadcast; each task set-filters one
-    file's rows in Arrow and writes the survivor file + footer stats."""
+    ``key_set`` is the already-collected source key set (shared with the
+    probe — collected once per merge); each task set-filters one file's
+    rows in Arrow and writes the survivor file + footer stats. SQL MERGE
+    semantics: a NULL target key never matches any source key (NULL is
+    dropped from the set and null rows are always survivors — same as the
+    left_anti fallback)."""
     import json
     import os
     import shutil
@@ -50,9 +54,9 @@ def _rewrite_touched_arrow(spark, table, touched_entries, src_keys_df, key):
 
     from ..core import manifests as mf
 
-    keys_b = spark.sparkContext.broadcast({r[0] for r in src_keys_df.collect()})
+    keys_b = spark.sparkContext.broadcast({k for k in key_set if k is not None})
     staging = table._stage_dir()
-    schema_names = table.schema.fieldNames()
+    arrow_schema = mf.spark_to_arrow_schema(table.schema)
     stats_cols = table.stats_columns()
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
@@ -72,15 +76,18 @@ def _rewrite_touched_arrow(spark, table, touched_entries, src_keys_df, key):
         for pdf in batches:
             out = []
             for fidx, path in zip(pdf["fidx"], pdf["path"]):
-                tbl = pq.read_table(path, columns=schema_names)
+                tbl = mf.read_table_nullfill(path, arrow_schema)
                 kvals = tbl[key].to_pylist()
-                mask = np.fromiter((k not in kset for k in kvals), bool, count=len(kvals))
+                mask = np.fromiter(
+                    ((k is None) or (k not in kset) for k in kvals), bool, count=len(kvals)
+                )
                 surv = tbl.filter(pa.array(mask))
                 if surv.num_rows == 0:
                     continue  # whole file consumed by the merge
                 dest = os.path.join(staging, f"m{fidx}.parquet")
-                pq.write_table(surv, dest + ".tmp", compression=codec)
-                os.rename(dest + ".tmp", dest)
+                tmp = f"{dest}.{os.getpid()}.inprogress"  # attempt-unique
+                pq.write_table(surv, tmp, compression=codec)
+                os.rename(tmp, dest)
                 st = mf.footer_stats(dest, stats_cols)
                 out.append(
                     {
@@ -149,9 +156,16 @@ def merge_into(
         n_src = src.count()
 
         # --- 1+2: find touched files (bucket-pruned probe, broadcast keys)
-        src_keys = src.select(key).distinct()
+        # small/medium sources collect the distinct keys ONCE; the list
+        # feeds both the probe's broadcast join and the Arrow rewrite's
+        # executor set (previously two identical distinct jobs)
+        key_list: list | None = None
         if n_src <= BROADCAST_THRESHOLD_ROWS:
-            src_keys = F.broadcast(src_keys)
+            key_schema = src.select(key).schema
+            key_list = [r[0] for r in src.select(key).distinct().collect()]
+            src_keys = F.broadcast(spark.createDataFrame([(k,) for k in key_list], key_schema))
+        else:
+            src_keys = src.select(key).distinct()
 
         spec_buckets = {
             f for f in table.partition_spec.fields if f.transform == "bucket" and f.source == key
@@ -207,7 +221,7 @@ def merge_into(
             # files stay near target size (they lose only matched rows);
             # routine compaction handles any shrinkage.
             new_entries, n_surv = _rewrite_touched_arrow(
-                spark, table, touched_entries, src_keys_df=src.select(key).distinct(), key=key
+                spark, table, touched_entries, key_set=key_list, key=key
             )
             n_new_rows += n_surv
         elif touched_entries:
@@ -215,7 +229,7 @@ def merge_into(
             # broadcast) + re-bin to target-size files
             touched_paths = [os.path.join(table.root, e.path) for e in touched_entries]
             touched_df = spark.read.schema(table.schema).parquet(*touched_paths)
-            survivors = touched_df.join(src.select(key).distinct(), key, "left_anti")
+            survivors = touched_df.join(src_keys, key, "left_anti")
             n_surv = survivors.count()
             if n_surv:
                 n_files = max(

@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     from ..session import get_spark
     from .checkpoint import SystemTables
     from .cluster import execute_cluster
-    from .compact import execute_compaction, plan_compaction
+    from .compact import execute_compaction
     from .expire import expire_snapshots, retention_analysis, sweep_orphans
     from .health import analyze_table_health, maintenance_schedule
     from .quality import quality_report
@@ -86,11 +86,11 @@ def main(argv=None) -> int:
             rep["retention"] = retention_analysis(t)
 
         if args.op in ("compact", "full"):
-            plan = plan_compaction(t)
-            rep["compaction_plan_groups"] = len(plan)
-            rep["compaction"] = execute_compaction(
-                spark, t, sys_tables, table_name, groups=plan
-            )
+            # groups=None → execute_compaction routes the planning itself
+            # (driver FFD for small manifests, distributed planner over
+            # entries_df beyond 10k entries)
+            rep["compaction"] = execute_compaction(spark, t, sys_tables, table_name)
+            rep["compaction_plan_groups"] = rep["compaction"].get("groups", 0)
 
         if args.op in ("cluster", "full"):
             rep["cluster"] = execute_cluster(

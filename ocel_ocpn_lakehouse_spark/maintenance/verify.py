@@ -109,9 +109,15 @@ def _snapshot_checksum(spark: SparkSession, table: Table, snap_id: int | None, k
     entries = table.live_entries(snapshot_id=snap_id)
     if not entries:
         return {"n": 0, "sum_h": 0}
+    import pyarrow as _pa
+
+    from ..core import manifests as _mf
+
     paths = [os.path.join(table.root, e.path) for e in entries]
     cols = [key, "caption", "bytes"]
     schema_cols = [c for c in cols if c in table.schema.fieldNames()]
+    full = _mf.spark_to_arrow_schema(table.schema)
+    sub_schema = _pa.schema([full.field(c) for c in schema_cols])
 
     def digest(batches):
         import hashlib
@@ -125,7 +131,9 @@ def _snapshot_checksum(spark: SparkSession, table: Table, snap_id: int | None, k
         for pdf in batches:
             out = []
             for p in pdf["path"]:
-                tbl = pq.read_table(p, columns=schema_cols)
+                from ocel_ocpn_lakehouse_spark.core.manifests import read_table_nullfill
+
+                tbl = read_table_nullfill(p, sub_schema)
                 d = tbl.to_pydict()
                 n = tbl.num_rows
                 s = 0

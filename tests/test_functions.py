@@ -266,3 +266,18 @@ def test_approx_query_self_checks(spark):
     assert r28
     recall = sum(1 for r in r28 if r["in_exact_topk"]) / len(r28)
     assert recall >= 0.3, f"LSH top-k agreement {recall}"
+
+
+def test_hash_key_parity_null_and_bool(spark):
+    """concat_ws semantics in the hash fallback: NULLs are skipped (no
+    separator), booleans render 'true'/'false' — the numpy mirror must
+    agree or range bucketing mis-bins rows."""
+    from ocel_ocpn_lakehouse_spark.functions import zorder as Z
+
+    rows = [("a", None, True), (None, "x", False), ("b", "y", None), (None, None, None)]
+    df = spark.createDataFrame(rows, "s1 string, s2 string, b boolean")
+    got = [r[0] for r in df.select(Z.hash_key_expr(["s1", "s2", "b"])).collect()]
+    want = Z.hash_key_np(
+        [[r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    assert got == [int(v) for v in want]

@@ -375,3 +375,70 @@ def test_merge_huge_source_fallback(spark, warehouse, monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_maintenance_after_schema_evolution(spark, warehouse):
+    """Additive schema evolution (T8) must not break the Arrow rewrite
+    paths: files written BEFORE add_column lack the new column and are
+    null-filled by read_table_nullfill in compact/cluster/merge/verify."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.maintenance.verify import verify_checksum_equivalence
+
+    cat, t = fragmented_table(spark, warehouse, n_rows=120, n_files=8)
+    pre_snap = t.current_snapshot().snapshot_id
+    t.add_column("rating", T.DoubleType())
+    # append post-evolution data that HAS the column
+    post = synth_images_df(spark, n_rows=30, seed=13).withColumn("rating", F.lit(1.5))
+    t.append(post, num_files=2)
+    assert t.scan(spark).filter(F.col("rating").isNull()).count() == 120
+
+    st = SystemTables(cat.warehouse)
+    res_c = execute_compaction(spark, t, st, "ocel.images")
+    assert res_c["status"] == "committed"
+    t.refresh()
+    res_z = execute_cluster(spark, t, st, "ocel.images", curve="zorder")
+    assert res_z["status"] == "committed"
+    t.refresh()
+    # null-fill preserved through both rewrites
+    assert t.scan(spark).count() == 150
+    assert t.scan(spark).filter(F.col("rating").isNull()).count() == 120
+    assert t.scan(spark).filter(F.col("rating") == 1.5).count() == 30
+
+    # merge over the evolved table (Arrow per-file path)
+    src = synth_merge_source_df(spark, n_target_rows=120, seed=5).withColumn(
+        "rating", F.lit(9.9)
+    )
+    res_m = merge_into(spark, t, src, key="image_id")
+    assert res_m["status"] == "committed"
+    t.refresh()
+    assert t.scan(spark).filter(F.col("rating") == 9.9).count() > 0
+
+    v = verify_checksum_equivalence(spark, t, t.current_snapshot().snapshot_id)
+    assert v["passed"]
+
+
+def test_merge_null_key_rows_survive(spark, warehouse):
+    """SQL MERGE: a NULL target key matches nothing — null-key rows must
+    survive the Arrow per-file rewrite even when the source also carries
+    NULL keys (regression: 'k not in {None,...}' deleted them)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), True), T.StructField("v", T.StringType(), True)]
+    )
+    cat = Catalog(warehouse)
+    t = cat.create_table("ns.kv", schema, TableSpec())
+    t.append(spark.createDataFrame([(None, "null-row"), ("A", "a"), ("B", "b")], schema))
+
+    src = spark.createDataFrame(
+        [("A", "a2", "upsert"), (None, "ghost", "delete")],
+        "k string, v string, _op string",
+    )
+    res = merge_into(spark, t, src, key="k")
+    assert res["status"] == "committed"
+    t.refresh()
+    got = {(r["k"], r["v"]) for r in t.scan(spark).collect()}
+    assert (None, "null-row") in got  # survived
+    assert ("A", "a2") in got and ("B", "b") in got
+    assert ("A", "a") not in got
