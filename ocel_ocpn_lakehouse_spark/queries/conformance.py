@@ -53,9 +53,11 @@ def dfg_model(transitions: DataFrame) -> DataFrame:
     admits the common paths, flags the rare ones); above-average is scale-
     invariant and deterministic."""
     edges = transitions.groupBy("src", "dst").agg(F.count("*").alias("freq"))
-    w_all = Window.partitionBy()
+    # Scalar threshold via broadcast cross join, not an unpartitioned window
+    # (Window.partitionBy() funnels the edge set into one task and warns).
+    avg_freq = edges.agg(F.avg("freq").alias("_avg"))
     return (
-        edges.withColumn("_avg", F.avg("freq").over(w_all))
+        edges.crossJoin(F.broadcast(avg_freq))
         .filter(F.col("freq") > F.col("_avg"))
         .select("src", "dst")
     )
