@@ -107,7 +107,7 @@ def read_manifests(metadata_dir: str, names: Iterable[str]) -> list[ManifestEntr
 # ---- schema-evolution-aware Arrow reads --------------------------------------
 
 
-def read_table_nullfill(path: str, arrow_schema) -> "pa.Table":
+def read_table_nullfill(path: str, arrow_schema, columns: list[str] | None = None) -> "pa.Table":
     """pyarrow read honoring additive schema evolution (T8).
 
     Files written before ``Table.add_column`` lack the new column;
@@ -116,21 +116,23 @@ def read_table_nullfill(path: str, arrow_schema) -> "pa.Table":
     on read") requires a null column. Read the intersection, then append
     null columns for missing fields, and return columns in table-schema
     order. Every Arrow maintenance task (compact/cluster/merge/verify)
-    reads through this."""
+    reads through this. ``columns`` prunes the read to a subset (e.g. the
+    cluster bounds sampler reads key columns only — never image bytes)."""
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
     pf = _pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
-    want = [f.name for f in arrow_schema]
+    fields = [f for f in arrow_schema if columns is None or f.name in columns]
+    want = [f.name for f in fields]
     tbl = pf.read(columns=[c for c in want if c in present])
     n = tbl.num_rows
-    for f in arrow_schema:
+    for f in fields:
         if f.name not in present:
             tbl = tbl.append_column(f.name, _pa.nulls(n, type=f.type))
     # cast to the canonical schema: per-file nullability/metadata quirks
     # would otherwise make concat_tables over mixed-era files fail
-    return tbl.select(want).cast(_pa.schema([(f.name, f.type) for f in arrow_schema]))
+    return tbl.select(want).cast(_pa.schema([(f.name, f.type) for f in fields]))
 
 
 def spark_to_arrow_schema(spark_schema):

@@ -5,21 +5,26 @@ The reference checks sort-order drift and recommends re-clustering
 Arrow-native two-phase job (Spark is the planner/scheduler; payload bytes
 never enter the JVM row pipeline):
 
-  1. KEY SCAN (Spark column expressions, column-pruned): per-partition
-     zkey quantiles from a key-only scan — image bytes stay out of the
-     sampling pass — define one range bucket `_zb` per ≈target-size
-     output file. The curve key interleaves (phash, w, h) with a
-     crc32(image_id) low-order salt suffix (north rule: "salting for
-     phash hot-spots" — boundaries can fall inside a hot phash cell and
-     spread it over several files).
+  1. KEY SAMPLING (Arrow tasks over file specs): per-partition zkey
+     quantiles from key-column-only pyarrow reads — image bytes stay out
+     of the sampling pass, and no JVM per-file reader setup is paid on
+     fragmented inputs (uniform-rate order statistics pooled per
+     partition; bounds shape only file sizes, never row placement
+     correctness). One range bucket `_zb` per ≈target-size output file.
+     The curve key interleaves (phash, w, h) with a crc32(image_id)
+     low-order salt suffix (north rule: "salting for phash hot-spots" —
+     boundaries can fall inside a hot phash cell and spread it over
+     several files).
   2. MAP (mapInPandas over FILE SPECS — metadata rows): each task reads
      its input files with pyarrow, recomputes the curve key in numpy
      (bit-identical to the Spark expressions — functions/zorder.py numpy
      mirrors, asserted by test_curve_key_numpy_parity), bins rows into
-     range buckets with searchsorted, and writes one parquet FRAGMENT per
-     (file × bucket) into a staging shuffle dir. This is a file-level
-     shuffle write in Arrow C++ — no JVM row serialization, no row-based
-     shuffle.
+     range buckets with searchsorted, and writes parquet FRAGMENTS into
+     a staging shuffle dir — one per (task × bucket), accumulated across
+     the task's files with a size-bounded flush, so fragment fan-out
+     stays #tasks × buckets even for 10^5 input files. This is a
+     file-level shuffle write in Arrow C++ — no JVM row serialization,
+     no row-based shuffle.
   3. REDUCE (mapInPandas over COMBO SPECS): each task concatenates its
      bucket's fragments, sorts by `_zkey` (kept as a real column so footer
      stats give per-file zkey min/max — the north rule's "per-file
@@ -44,12 +49,9 @@ import os
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..core import manifests as mf
 from ..core.table import Table
-from ..functions.zorder import hash_key_expr, image_hilbert_key, image_zorder_key
 from .checkpoint import SystemTables
 
 ZKEY_COL = "_zkey"
@@ -69,14 +71,6 @@ def _curve_spec(table: Table, curve: str, key_cols: list[str] | None) -> dict:
     if not cols:
         cols = sorted(fields - {"bytes"})[:1]
     return {"kind": "hash", "inputs": cols}
-
-
-def _curve_expr(spec: dict):
-    if spec["kind"] == "zorder":
-        return image_zorder_key()
-    if spec["kind"] == "hilbert":
-        return image_hilbert_key()
-    return hash_key_expr(spec["inputs"])
 
 
 def _curve_np(spec: dict, tbl) -> "object":
@@ -124,26 +118,11 @@ def execute_cluster(
     spec = table.partition_spec
     pcols = spec.partition_columns()
     cspec = _curve_spec(table, curve, key_cols)
-    key_column = _curve_expr(cspec)
 
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "planned",
         [e.path for e in entries], rows=total_records, nbytes=total_bytes,
     )
-
-    # --- 1. key-scan quantile boundaries (Spark, column-pruned) ------------
-    # repartitionByRange would sample the full-width shuffle input — on an
-    # image table that is a second complete read of every payload byte.
-    # Instead: per-partition zkey quantiles from a KEY-ONLY scan, then
-    # explicit range bucketing below.
-    t_bounds = time.time()
-    key_inputs = sorted(
-        set(cspec["inputs"])
-        | {f.source for f in spec.fields if f.source in table.schema.fieldNames()}
-    )
-    key_df = table.scan(spark, columns=list(key_inputs)).withColumn(ZKEY_COL, key_column)
-    for f in spec.fields:
-        key_df = key_df.withColumn(f.partition_column, f.to_column())
 
     part_bytes: dict[str, int] = {}
     for e in entries:
@@ -151,35 +130,6 @@ def execute_cluster(
         part_bytes[k] = part_bytes.get(k, 0) + e.size_bytes
     n_sub = {k: max(1, -(-b // table.target_file_size)) for k, b in part_bytes.items()}
     max_sub = max(n_sub.values())
-
-    bounds_by_pkey: dict[str, list[int]] = {k: [] for k in n_sub}
-    if max_sub > 1:
-        qs = [i / max_sub for i in range(1, max_sub)]
-        bounds_rows = (
-            key_df.groupBy(*pcols)
-            .agg(F.percentile_approx(ZKEY_COL, qs, 5000).alias("bounds"))
-            .collect()
-        ) if pcols else [
-            key_df.agg(F.percentile_approx(ZKEY_COL, qs, 5000).alias("bounds")).first()
-        ]
-        for r in bounds_rows:
-            pk = (
-                json.dumps({c: r[c] for c in pcols}, sort_keys=True, default=str)
-                if pcols
-                else next(iter(n_sub))
-            )
-            nb = n_sub.get(pk, 1)
-            bs = r["bounds"] or []
-            step = max(1, len(bs) // nb) if nb > 1 else len(bs) + 1
-            picked = [bs[i] for i in range(step - 1, len(bs), step)][: nb - 1] if nb > 1 else []
-            bounds_by_pkey[pk] = [int(b) for b in picked]
-    phases["bounds"] = time.time() - t_bounds
-
-    # combo = (partition, range bucket) → dense index; combos are metadata
-    combos: list[tuple[str, int]] = [
-        (pk, zb_i) for pk in sorted(n_sub) for zb_i in range(n_sub[pk])
-    ]
-    combo_index: dict[tuple[str, int], int] = {c: i for i, c in enumerate(combos)}
 
     staging = table._stage_dir()
     shuffle_dir = os.path.join(staging, "_shuffle")
@@ -189,8 +139,6 @@ def execute_cluster(
     arrow_schema = mf.spark_to_arrow_schema(table.schema)
     root = table.root
 
-    # --- 2. MAP: Arrow file-level shuffle write ---------------------------
-    t_map = time.time()
     file_rows = [
         (i, os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
         for i, e in enumerate(entries)
@@ -203,17 +151,105 @@ def execute_cluster(
         "fidx int, path string, pkey string",
     )
 
+    # --- 1. quantile boundaries from Arrow key sampling --------------------
+    # repartitionByRange would sample the full-width shuffle input — on an
+    # image table that is a second complete read of every payload byte. A
+    # JVM key-only scan avoids the bytes but pays per-file reader setup
+    # (~50 ms/file — minutes at 10^4 fragmented inputs). Instead the same
+    # Arrow tasks that will rewrite the files sample the curve key: each
+    # reads only the key columns, sorts, returns every step-th order
+    # statistic at a globally uniform rate; pooled per table-partition,
+    # that yields unbiased quantiles. Bounds only shape file sizes — row
+    # placement uses searchsorted against whatever bounds all tasks share,
+    # and the row-count guard gates the commit — so sampling error cannot
+    # cost correctness, only balance.
+    t_bounds = time.time()
+    bounds_by_pkey: dict[str, list[int]] = {k: [] for k in n_sub}
+    if max_sub > 1:
+        key_cols_read = [c for c in cspec["inputs"] if c in table.schema.fieldNames()]
+        step = max(1, total_records // 200_000)
+
+        def _sample_keys(batches):
+            import pandas as pd
+
+            pa_mod = __import__("pyarrow")
+            pa_mod.set_cpu_count(1)
+            import numpy as np
+
+            for pdf in batches:
+                out_pk, out_k = [], []
+                for path, pkey in zip(pdf["path"], pdf["pkey"]):
+                    tbl = mf.read_table_nullfill(path, arrow_schema, columns=key_cols_read)
+                    zkey = np.sort(np.asarray(_curve_np(cspec, tbl), dtype=np.int64))
+                    picked = zkey[step - 1 :: step]
+                    out_pk.extend([pkey] * len(picked))
+                    out_k.extend(int(v) for v in picked)
+                yield pd.DataFrame({"pkey": out_pk, "k": out_k})
+
+        sample_rows = files_df.mapInPandas(_sample_keys, "pkey string, k long").collect()
+        pooled: dict[str, list[int]] = {}
+        for r in sample_rows:
+            pooled.setdefault(r["pkey"], []).append(r["k"])
+        for pk, nb in n_sub.items():
+            ks = sorted(pooled.get(pk, []))
+            if nb > 1 and ks:
+                bounds_by_pkey[pk] = [
+                    int(ks[min(len(ks) - 1, (i * len(ks)) // nb)]) for i in range(1, nb)
+                ]
+    phases["bounds"] = time.time() - t_bounds
+
+    # combo = (partition, range bucket) → dense index; combos are metadata
+    combos: list[tuple[str, int]] = [
+        (pk, zb_i) for pk in sorted(n_sub) for zb_i in range(n_sub[pk])
+    ]
+    combo_index: dict[tuple[str, int], int] = {c: i for i, c in enumerate(combos)}
+
+    # --- 2. MAP: Arrow file-level shuffle write ---------------------------
+    t_map = time.time()
+
+    # flush a bucket's accumulated slices once they exceed this (bounds
+    # task memory on huge partitions; deterministic across task retries
+    # because the file order within a Spark partition is deterministic)
+    flush_bytes = 256 * 1024 * 1024
+
     def _map_shuffle(batches):
         import numpy as np
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
         pa.set_cpu_count(1)  # one Arrow thread per one-core task
+        task_part = TaskContext.get().partitionId()
+        # accumulate per combo across ALL of this task's files, so fragment
+        # count is #tasks × buckets, not #files × buckets (a 10^5-file map
+        # would otherwise write 10^5 × buckets tiny fragments)
+        acc: dict[int, list] = {}
+        acc_bytes: dict[int, int] = {}
+        flush_idx: dict[int, int] = {}
+        counts: dict[int, int] = {}
+
+        def _flush(cidx: int):
+            parts = acc.pop(cidx, [])
+            if not parts:
+                return
+            frag_tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            cdir = os.path.join(shuffle_dir, f"c{cidx}")
+            os.makedirs(cdir, exist_ok=True)
+            fi = flush_idx.get(cidx, 0)
+            flush_idx[cidx] = fi + 1
+            frag = os.path.join(cdir, f"t{task_part}_{fi}.parquet")
+            # attempt-unique tmp + atomic rename: a dead/speculative task
+            # attempt can never leave a partial file under the final name
+            # or race another attempt's tmp
+            tmp = f"{frag}.{os.getpid()}.inprogress"
+            # fragments are intermediate: cheapest codec wins
+            pq.write_table(frag_tbl, tmp, compression="lz4")
+            os.rename(tmp, frag)
+            acc_bytes[cidx] = 0
 
         for pdf in batches:
-            out = []
-            for fidx, path, pkey in zip(pdf["fidx"], pdf["path"], pdf["pkey"]):
+            for path, pkey in zip(pdf["path"], pdf["pkey"]):
                 tbl = mf.read_table_nullfill(path, arrow_schema)
                 zkey = _curve_np(cspec, tbl)
                 tbl = tbl.append_column(ZKEY_COL, pa.array(zkey, type=pa.int64()))
@@ -226,20 +262,19 @@ def execute_cluster(
                 for zb_i in np.unique(zb):
                     cidx = combo_index[(pkey, int(zb_i))]
                     part = tbl.filter(pa.array(zb == zb_i))
-                    cdir = os.path.join(shuffle_dir, f"c{cidx}")
-                    os.makedirs(cdir, exist_ok=True)
-                    frag = os.path.join(cdir, f"f{fidx}.parquet")
-                    # attempt-unique tmp + atomic rename: a dead/speculative
-                    # task attempt can never leave a partial file under the
-                    # final name or race another attempt's tmp
-                    tmp = f"{frag}.{os.getpid()}.inprogress"
-                    # fragments are intermediate: cheapest codec wins
-                    pq.write_table(part, tmp, compression="lz4")
-                    os.rename(tmp, frag)
-                    out.append({"fidx": int(fidx), "cidx": int(cidx), "rows": len(part)})
-            yield pd.DataFrame(out, columns=["fidx", "cidx", "rows"])
+                    acc.setdefault(cidx, []).append(part)
+                    counts[cidx] = counts.get(cidx, 0) + len(part)
+                    acc_bytes[cidx] = acc_bytes.get(cidx, 0) + part.nbytes
+                    if acc_bytes[cidx] >= flush_bytes:
+                        _flush(cidx)
+        for cidx in list(acc):
+            _flush(cidx)
+        yield pd.DataFrame(
+            [{"cidx": c, "rows": n} for c, n in counts.items()],
+            columns=["cidx", "rows"],
+        )
 
-    map_acks = files_df.mapInPandas(_map_shuffle, "fidx int, cidx int, rows long").collect()
+    map_acks = files_df.mapInPandas(_map_shuffle, "cidx int, rows long").collect()
     mapped_rows = sum(r["rows"] for r in map_acks)
     if mapped_rows != total_records:
         raise RuntimeError(f"cluster map row mismatch: {mapped_rows} != {total_records}")

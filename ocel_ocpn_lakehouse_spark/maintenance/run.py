@@ -26,7 +26,10 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--op",
         default="full",
-        choices=["health", "compact", "cluster", "expire", "quality", "full", "synth", "orphans"],
+        choices=[
+            "health", "compact", "cluster", "rewrite", "expire", "quality",
+            "full", "synth", "orphans",
+        ],
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     ap.add_argument("--rows", type=int, default=5000, help="synth rows")
@@ -95,6 +98,17 @@ def main(argv=None) -> int:
         if args.op in ("cluster", "full"):
             rep["cluster"] = execute_cluster(
                 spark, t.refresh(), sys_tables, table_name, curve=args.curve
+            )
+
+        if args.op == "rewrite":
+            # fused bin-pack + cluster: the cluster rewrite already emits
+            # ≈target-size files per range bucket, so running it directly
+            # on fragmented input compacts AND clusters in ONE pass over
+            # the bytes — at warehouse scale this halves rewrite I/O vs
+            # compact-then-cluster (Iceberg's rewrite_data_files with a
+            # sort strategy is the same fusion)
+            rep["rewrite"] = execute_cluster(
+                spark, t, sys_tables, table_name, curve=args.curve
             )
 
         if args.op == "expire":

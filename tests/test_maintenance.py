@@ -442,3 +442,47 @@ def test_merge_null_key_rows_survive(spark, warehouse):
     assert (None, "null-row") in got  # survived
     assert ("A", "a2") in got and ("B", "b") in got
     assert ("A", "a") not in got
+
+
+def test_fused_rewrite_matches_compact_then_cluster(spark, warehouse):
+    """--op rewrite (cluster on fragmented input) must land the same table
+    state as compact-then-cluster in HALF the byte passes: identical
+    scan checksums, bin-packed ≈target-size output, per-file zkey stats."""
+    cat1, t1 = fragmented_table(spark, warehouse + "_fused")
+    cat2, t2 = fragmented_table(spark, warehouse + "_twopass")
+    before = column_checksums(t1.scan(spark))
+    n_input = len(t1.live_entries())
+
+    res_f = execute_cluster(spark, t1, SystemTables(cat1.warehouse), "ocel.images")
+    assert res_f["status"] == "committed"
+
+    execute_compaction(spark, t2, SystemTables(cat2.warehouse), "ocel.images")
+    t2.refresh()
+    execute_cluster(spark, t2, SystemTables(cat2.warehouse), "ocel.images")
+
+    t1.refresh(); t2.refresh()
+    assert column_checksums(t1.scan(spark)) == before
+    assert column_checksums(t2.scan(spark)) == before
+
+    fused, twopass = t1.live_entries(), t2.live_entries()
+    # bin-packing: fragmented input collapsed to the clustered layout —
+    # same file count as the two-pass path, far fewer than the input
+    assert len(fused) == len(twopass) < n_input
+    assert all("_zkey" in e.lower_bounds for e in fused)
+    # one pass over the bytes vs two: fused rewrites each byte once
+    bytes_now = sum(e.size_bytes for e in fused)
+    assert abs(bytes_now - sum(e.size_bytes for e in twopass)) < 0.1 * bytes_now
+
+
+def test_cli_rewrite_op(spark, warehouse, capsys):
+    """maintenance CLI --op rewrite runs the fused path end-to-end."""
+    from ocel_ocpn_lakehouse_spark.maintenance.run import main as cli_main
+
+    fragmented_table(spark, warehouse)
+    rc = cli_main([
+        "--warehouse", warehouse, "--table", "ocel.images", "--op", "rewrite",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rewrite"]["status"] == "committed"
+    assert rep["rewrite"]["files_after"] < rep["rewrite"]["files_before"]

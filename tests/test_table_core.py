@@ -122,3 +122,27 @@ def test_point_lookup_bucket_pruning(spark, warehouse):
         F.col("id") == key
     )
     assert df.count() == 1
+
+
+def test_read_table_nullfill_column_pruning(tmp_path):
+    """columns= prunes the physical read (the cluster bounds sampler must
+    never read image bytes) and still null-fills evolved columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+
+    old = pa.table({"a": [1, 2], "payload": [b"x" * 10, b"y" * 10]})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(old, p)
+
+    full_schema = pa.schema(
+        [("a", pa.int64()), ("payload", pa.binary()), ("added", pa.string())]
+    )
+    pruned = mf.read_table_nullfill(p, full_schema, columns=["a", "added"])
+    assert pruned.column_names == ["a", "added"]
+    assert pruned["added"].null_count == 2
+    assert pruned["a"].to_pylist() == [1, 2]
+    # full read unchanged
+    full = mf.read_table_nullfill(p, full_schema)
+    assert full.column_names == ["a", "payload", "added"]
