@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q27_ann_cosine_topk",
     "q29_text_quality",
     "q36_conformance",
+    "q38_ocpn_arcs",
 ]
 
 

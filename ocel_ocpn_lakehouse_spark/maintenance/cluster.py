@@ -167,23 +167,32 @@ def execute_cluster(
     bounds_by_pkey: dict[str, list[int]] = {k: [] for k in n_sub}
     if max_sub > 1:
         key_cols_read = [c for c in cspec["inputs"] if c in table.schema.fieldNames()]
-        step = max(1, total_records // 200_000)
+        # pooled sample target: ~1k keys per output bucket bounds the
+        # relative file-size error at ~3% regardless of table size; rows
+        # are subsampled (evenly spaced, deterministic) BEFORE the curve
+        # key is computed, so sampling cost shrinks with the rate instead
+        # of paying the full-table key computation
+        target = max(50_000, 1_000 * sum(n_sub.values()))
 
         def _sample_keys(batches):
-            import pandas as pd
-
-            pa_mod = __import__("pyarrow")
-            pa_mod.set_cpu_count(1)
             import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+
+            pa.set_cpu_count(1)
 
             for pdf in batches:
                 out_pk, out_k = [], []
                 for path, pkey in zip(pdf["path"], pdf["pkey"]):
                     tbl = mf.read_table_nullfill(path, arrow_schema, columns=key_cols_read)
-                    zkey = np.sort(np.asarray(_curve_np(cspec, tbl), dtype=np.int64))
-                    picked = zkey[step - 1 :: step]
-                    out_pk.extend([pkey] * len(picked))
-                    out_k.extend(int(v) for v in picked)
+                    n = tbl.num_rows
+                    if n == 0:
+                        continue
+                    k = max(16, min(n, -(-n * target // max(total_records, 1))))
+                    idx = np.linspace(0, n - 1, num=int(k)).astype(np.int64)
+                    zkey = _curve_np(cspec, tbl.take(pa.array(idx)))
+                    out_pk.extend([pkey] * len(zkey))
+                    out_k.extend(int(v) for v in zkey)
                 yield pd.DataFrame({"pkey": out_pk, "k": out_k})
 
         sample_rows = files_df.mapInPandas(_sample_keys, "pkey string, k long").collect()
