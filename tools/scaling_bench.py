@@ -149,6 +149,32 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
 
         spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(_warm, "id long").count()
 
+        # BENCH_FUSED_ORDER=first measures the fused path before the
+        # two-pass protocol (default last) — lets a rerun separate the
+        # contention-tail artifact from the fused plan itself
+        fused_first = os.environ.get("BENCH_FUSED_ORDER", "last") == "first"
+
+        def run_fused():
+            wh2 = tempfile.mkdtemp(prefix=f"scale_whf_{cpus}_", dir=TMPBASE)
+            shutil.rmtree(wh2)
+            if subprocess.run(["cp", "-al", src_wh, wh2]).returncode != 0:
+                shutil.copytree(src_wh, wh2)
+            cat2 = Catalog(wh2)
+            t_f = cat2.load_table("bench.images")
+            pre_f = t_f.current_snapshot().snapshot_id
+            tf0 = time.time()
+            res_f = execute_cluster(
+                spark, t_f, SystemTables(cat2.warehouse), "bench.images", curve="zorder"
+            )
+            tf1 = time.time()
+            t_f.refresh()
+            vf = verify_checksum_equivalence(spark, t_f, pre_f)
+            shutil.rmtree(wh2, ignore_errors=True)
+            return tf1 - tf0, res_f, vf
+
+        if fused_first:
+            fused, res_f, vf = run_fused()
+
         t0 = time.time()
         res_c = execute_compaction(spark, t, st, "bench.images")
         t.refresh()
@@ -170,22 +196,8 @@ def child(cpus: int, rows: int, src_wh: str) -> None:
         # range bucket, so clustering the fragmented table directly is
         # bin-pack + cluster in ONE pass over the bytes (--op rewrite).
         # Same end state as compact-then-cluster (tested), half the I/O.
-        wh2 = tempfile.mkdtemp(prefix=f"scale_whf_{cpus}_", dir=TMPBASE)
-        shutil.rmtree(wh2)
-        if subprocess.run(["cp", "-al", src_wh, wh2]).returncode != 0:
-            shutil.copytree(src_wh, wh2)
-        cat2 = Catalog(wh2)
-        t_f = cat2.load_table("bench.images")
-        pre_f = t_f.current_snapshot().snapshot_id
-        tf0 = time.time()
-        res_f = execute_cluster(
-            spark, t_f, SystemTables(cat2.warehouse), "bench.images", curve="zorder"
-        )
-        tf1 = time.time()
-        t_f.refresh()
-        vf = verify_checksum_equivalence(spark, t_f, pre_f)
-        fused = tf1 - tf0
-        shutil.rmtree(wh2, ignore_errors=True)
+        if not fused_first:
+            fused, res_f, vf = run_fused()
 
         print(
             json.dumps(
