@@ -7,7 +7,13 @@ plan → one Arrow rewrite job (hundreds of groups, each reading hundreds
 of files) → single replace-snapshot commit → scan equivalence. Reports
 where the time goes and peak driver RSS.
 
-Usage: python tools/metadata_stress.py [n_files] [cpus]
+Usage: python tools/metadata_stress.py [n_files] [cpus] [compact|cluster]
+
+`cluster` runs the fused single-pass rewrite (execute_cluster on the
+fragmented input — bin-pack + curve-cluster in one pass) over the same
+~100k-file manifest: per-task fragment batching keeps the shuffle-write
+fan-out at #tasks × buckets, so metadata scale stresses the planner and
+the commit, not the filesystem.
 """
 
 from __future__ import annotations
@@ -28,11 +34,11 @@ TMPBASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 def main() -> int:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-
-    from pyspark.sql import functions as F
+    op = sys.argv[3] if len(sys.argv) > 3 else "compact"
 
     from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, TableSpec
     from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
     from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
     from ocel_ocpn_lakehouse_spark.session import get_spark
 
@@ -61,13 +67,18 @@ def main() -> int:
         rows_before = t.scan(spark).count()
 
         t1 = time.time()
-        res = execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
+        if op == "cluster":
+            res = execute_cluster(spark, t, SystemTables(cat.warehouse), "stress.rows")
+            res.setdefault("groups", res.get("files_after", 0))
+        else:
+            res = execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
         compact_s = time.time() - t1
         t.refresh()
         rows_after = t.scan(spark).count()
         rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
         out = {
+            "op": op,
             "requested_files": n_files,
             "actual_files": files,
             "files_after": len(t.live_entries()),
