@@ -380,23 +380,46 @@ class Table:
         added_entries: list[mf.ManifestEntry],
         operation: str = "replace",
         summary: dict | None = None,
+        replace_all: bool = False,
+        expected_snapshot_id: int | None = None,
     ) -> meta.Snapshot:
         """Commit a rewrite: live files minus removed plus added, with a full
         manifest rewrite (T7): surviving entries are re-grouped by partition
         into fresh, bounded manifests re-deriving per-partition grouping.
         Data files themselves are untouched — old snapshots keep referencing
-        them (CoW sharing; expiry refcounts, SURVEY §7.3 hard part 1)."""
+        them (CoW sharing; expiry refcounts, SURVEY §7.3 hard part 1).
+
+        ``replace_all=True`` replaces EVERY live file without materializing
+        the removed set (the whole-table-rewrite commit used by the
+        distributed cluster planner, where the input list never exists as a
+        driver object). Because it cannot tolerate concurrent appends the
+        way the removed-set form does (a file appended mid-rewrite would be
+        silently dropped), it requires ``expected_snapshot_id`` and fails
+        with ConflictError if the table moved past it — the same validation
+        Iceberg's RewriteDataFiles applies to conflicting commits."""
+        if replace_all and expected_snapshot_id is None:
+            raise ValueError("replace_all requires expected_snapshot_id")
 
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1
             snap = md.current_snapshot()
-            current = mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
-            survivors = [e for e in current if e.path not in removed_paths]
+            if replace_all:
+                if snap is not None and snap.snapshot_id != expected_snapshot_id:
+                    raise meta.ConflictError(
+                        f"replace_all planned at snapshot {expected_snapshot_id} "
+                        f"but table is now at {snap.snapshot_id}"
+                    )
+                survivors: list[mf.ManifestEntry] = []
+                n_removed: int | str = "all"
+            else:
+                current = mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
+                survivors = [e for e in current if e.path not in removed_paths]
+                n_removed = len(removed_paths)
             for e in added_entries:
                 e.added_snapshot_id = seq
             manifest_names = rewrite_manifests(self.metadata_dir, survivors + added_entries, seq)
             s = {
-                "removed-files": len(removed_paths),
+                "removed-files": n_removed,
                 "added-files": len(added_entries),
             }
             if summary:

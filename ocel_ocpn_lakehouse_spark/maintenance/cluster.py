@@ -98,14 +98,12 @@ def execute_cluster(
     curve: str = "zorder",  # zorder | hilbert | hash
     key_cols: list[str] | None = None,
     job_id: str | None = None,
+    planning: str = "auto",  # auto | driver | distributed
 ) -> dict:
     t0 = time.time()
     phases: dict[str, float] = {}
     snap = table.current_snapshot()
     if snap is None:
-        return {"status": "empty-table"}
-    entries = table.live_entries()
-    if not entries:
         return {"status": "empty-table"}
     job_id = job_id or f"cluster-{table.md.table_uuid[:8]}-snap{snap.snapshot_id}"
 
@@ -113,21 +111,62 @@ def execute_cluster(
     if states.get("cluster-all", {}).get("state") == "committed":
         return {"status": "already-committed", "job_id": job_id}
 
-    total_bytes = sum(e.size_bytes for e in entries)
-    total_records = sum(e.record_count for e in entries)
     spec = table.partition_spec
     pcols = spec.partition_columns()
     cspec = _curve_spec(table, curve, key_cols)
+    root = table.root
+
+    # --- 0. planning: per-partition byte/record totals + the file relation.
+    # 'driver' materializes the manifest entries (fine to ~10^4 files);
+    # 'distributed' keeps them in entries_df — the driver sees only one
+    # aggregate row per table partition plus the plan scalars, so a
+    # 10^7-file table plans without manifests ever becoming driver objects
+    # (same routing as compaction's plan_compaction_distributed).
+    edf = table.entries_df(spark).select("path", "partition", "size_bytes", "record_count")
+    if planning == "auto":
+        planning = "distributed" if edf.count() > 10_000 else "driver"
+    removed: set[str] | None
+    if planning == "driver":
+        entries = table.live_entries()
+        if not entries:
+            return {"status": "empty-table"}
+        n_files = len(entries)
+        part_agg: dict[str, tuple[int, int]] = {}
+        for e in entries:
+            k = json.dumps(e.partition, sort_keys=True)
+            b, r = part_agg.get(k, (0, 0))
+            part_agg[k] = (b + e.size_bytes, r + e.record_count)
+        input_ref = [e.path for e in entries]
+        removed = {e.path for e in entries}
+    else:
+        from pyspark.sql import functions as F
+
+        agg_rows = (
+            edf.groupBy("partition")
+            .agg(
+                F.sum("size_bytes").alias("b"),
+                F.sum("record_count").alias("r"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        if not agg_rows:
+            return {"status": "empty-table"}
+        n_files = sum(r["n"] for r in agg_rows)
+        part_agg = {r["partition"]: (int(r["b"]), int(r["r"])) for r in agg_rows}
+        # checkpoint rows reference the snapshot instead of materializing
+        # 10^7 input paths on the driver; expiry/lineage resolve it lazily
+        input_ref = [f"snapshot:{snap.snapshot_id}"]
+        removed = None
+    total_bytes = sum(b for b, _ in part_agg.values())
+    total_records = sum(r for _, r in part_agg.values())
 
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "planned",
-        [e.path for e in entries], rows=total_records, nbytes=total_bytes,
+        input_ref, rows=total_records, nbytes=total_bytes,
     )
 
-    part_bytes: dict[str, int] = {}
-    for e in entries:
-        k = json.dumps(e.partition, sort_keys=True)
-        part_bytes[k] = part_bytes.get(k, 0) + e.size_bytes
+    part_bytes = {k: b for k, (b, _) in part_agg.items()}
     n_sub = {k: max(1, -(-b // table.target_file_size)) for k, b in part_bytes.items()}
     max_sub = max(n_sub.values())
 
@@ -137,19 +176,29 @@ def execute_cluster(
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
     arrow_schema = mf.spark_to_arrow_schema(table.schema)
-    root = table.root
 
-    file_rows = [
-        (i, os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
-        for i, e in enumerate(entries)
-    ]
-    # parallelize = exact task assignment with no sampling/shuffle sub-job;
     # cap slices so a 10^5-tiny-file map still batches files per task
-    n_map = min(len(file_rows), max(4 * int(spark.sparkContext.defaultParallelism), 64))
-    files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(file_rows, max(n_map, 1)),
-        "fidx int, path string, pkey string",
-    )
+    n_map = max(1, min(n_files, max(4 * int(spark.sparkContext.defaultParallelism), 64)))
+    if planning == "driver":
+        # parallelize = exact task assignment, no sampling/shuffle sub-job
+        file_rows = [
+            (os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
+            for e in entries
+        ]
+        files_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(file_rows, n_map),
+            "path string, pkey string",
+        )
+    else:
+        from pyspark.sql import functions as F
+
+        # one metadata-row shuffle; payload bytes are untouched
+        files_df = (
+            edf.select(
+                F.concat(F.lit(root + os.sep), F.col("path")).alias("path"),
+                F.col("partition").alias("pkey"),
+            ).repartition(n_map)
+        )
 
     # --- 1. quantile boundaries from Arrow key sampling --------------------
     # repartitionByRange would sample the full-width shuffle input — on an
@@ -374,7 +423,7 @@ def execute_cluster(
 
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "written",
-        [e.path for e in entries], output_files=[e.path for e in new_entries],
+        input_ref, output_files=[e.path for e in new_entries],
         rows=sum(e.record_count for e in new_entries),
         nbytes=sum(e.size_bytes for e in new_entries),
     )
@@ -387,14 +436,22 @@ def execute_cluster(
         raise RuntimeError(
             f"cluster rewrite row-count mismatch: {rewritten_rows} != {total_records}"
         )
-    removed = {e.path for e in entries}
     t_commit = time.time()
-    table.commit_replace(removed, new_entries, operation="replace", summary={"job": job_id, "op": "cluster", "curve": curve})
+    summary = {"job": job_id, "op": "cluster", "curve": curve}
+    if removed is not None:
+        table.commit_replace(removed, new_entries, operation="replace", summary=summary)
+    else:
+        # whole-table rewrite without a driver-side removed set; fails if
+        # the table moved past the planned snapshot (see commit_replace)
+        table.commit_replace(
+            set(), new_entries, operation="replace", summary=summary,
+            replace_all=True, expected_snapshot_id=snap.snapshot_id,
+        )
     phases["commit"] = time.time() - t_commit
     dur_ms = int((time.time() - t0) * 1000)
     sys_tables.record_group(
         job_id, "cluster", table_name, "*", "cluster-all", "committed",
-        [e.path for e in entries], output_files=[e.path for e in new_entries],
+        input_ref, output_files=[e.path for e in new_entries],
     )
     sys_tables.record_lineage(
         {
@@ -402,7 +459,7 @@ def execute_cluster(
             "op": "cluster",
             "table_name": table_name,
             "partition_id": "*",
-            "files_before": len(entries),
+            "files_before": n_files,
             "files_after": len(new_entries),
             "bytes_before": total_bytes,
             "bytes_after": sum(e.size_bytes for e in new_entries),
@@ -416,7 +473,7 @@ def execute_cluster(
         "status": "committed",
         "job_id": job_id,
         "curve": curve,
-        "files_before": len(entries),
+        "files_before": n_files,
         "files_after": len(new_entries),
         "rows": total_records,
         "bytes": total_bytes,

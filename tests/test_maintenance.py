@@ -284,6 +284,67 @@ def test_quality_gate(spark, warehouse):
     assert not rep2["passed"] and rep2["issues"].get("bad_fmt") == 1
 
 
+def test_cluster_distributed_planning_parity(spark, warehouse):
+    """planning='distributed' (entries stay in entries_df; the driver sees
+    one aggregate row per partition and commits replace_all against the
+    planned snapshot) must produce the same data AND the same file layout
+    as the driver planner: per-file samples and pooled quantile bounds are
+    deterministic per input file, so task assignment cannot change row
+    placement."""
+    cat, t = fragmented_table(spark, warehouse)
+    before = column_checksums(t.scan(spark))
+    execute_cluster(
+        spark, t, SystemTables(cat.warehouse), "ocel.images",
+        curve="zorder", planning="driver",
+    )
+    t.refresh()
+    drv_entries = t.live_entries()
+    assert column_checksums(t.scan(spark)) == before
+
+    cat2, t2 = fragmented_table(spark, warehouse + "_dist")
+    res = execute_cluster(
+        spark, t2, SystemTables(cat2.warehouse), "ocel.images",
+        curve="zorder", planning="distributed",
+    )
+    assert res["status"] == "committed"
+    t2.refresh()
+    dist_entries = t2.live_entries()
+    assert column_checksums(t2.scan(spark)) == before
+
+    def layout(entries):
+        return sorted(
+            (
+                json.dumps(e.partition, sort_keys=True),
+                e.record_count,
+                e.lower_bounds["_zkey"],
+                e.upper_bounds["_zkey"],
+            )
+            for e in entries
+        )
+
+    assert layout(drv_entries) == layout(dist_entries)
+    # the distributed checkpoint row references the snapshot, not 10^N paths
+    states = SystemTables(cat2.warehouse).group_states(res["job_id"])
+    assert states["cluster-all"]["state"] == "committed"
+
+
+def test_replace_all_conflict_guard(spark, warehouse):
+    """replace_all commits validate the planned snapshot: a concurrent
+    append between planning and commit must fail the rewrite (it would be
+    silently dropped otherwise) — Iceberg's RewriteDataFiles conflict
+    validation."""
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+
+    cat, t = fragmented_table(spark, warehouse, n_rows=60, n_files=4)
+    planned = t.current_snapshot().snapshot_id
+    t.append(synth_images_df(spark, n_rows=10, seed=7), num_files=1)
+    with pytest.raises(meta.ConflictError):
+        t.commit_replace(
+            set(), [], operation="replace",
+            replace_all=True, expected_snapshot_id=planned,
+        )
+
+
 def test_cluster_identity_string_partition(spark, warehouse):
     """An identity partition on a STRING column (fmt) must range-bucket and
     rewrite correctly — the bounds/mapping DataFrames derive partition-column
