@@ -8,6 +8,18 @@
   corpus; queries probe only their own bucket (+ optional multi-probe),
   turning a 10^12-row scan into a bucket-local search. Hyperplanes are
   deterministic (seeded), computed once and broadcast as literal arrays.
+- cosine_neardup_pairs / lsh_neardup_pairs: embedding-cosine near-duplicate
+  DETECTION (all pairs above a threshold, not top-k). The exact form is the
+  O(n^2) audit baseline; the banded sign-LSH form is the warehouse-scale
+  candidate generator (OR-of-ANDs amplification, the same construction as
+  MinHash-LSH bands) with exact verification, so precision is 1 and only
+  recall is approximate.
+- ivf_centroids / ivf_topk: IVF (inverted-file) ANN — a k-means coarse
+  quantizer partitions the corpus into cells; queries exhaustively search
+  only the ``nprobe`` nearest cells. Lloyd iterations run as DataFrame
+  jobs (assign = argmax over broadcast centroid literals; update =
+  posexplode + groupBy mean), so training never leaves the cluster; only
+  the k×dim centroid matrix (metadata-sized) lands on the driver.
 """
 
 from __future__ import annotations
@@ -50,6 +62,194 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: (id_a < id_b, sim)
+    for every pair with cosine >= threshold.
+
+    All-pairs is O(n^2) — this is the audit/oracle baseline (and the
+    ground truth the LSH path's recall is measured against). At warehouse
+    scale run :func:`lsh_neardup_pairs`; exact all-pairs over 10^12 rows
+    is not a thing any engine should do. The cosine uses the same
+    un-normalized dot/(norm*norm) fold as brute_force_topk, which is
+    bit-identical to DuckDB's list_cosine_similarity on this data (so
+    thresholding cannot disagree across engines)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: banded sign-LSH candidate
+    generation + exact verification.
+
+    Each band hashes a vector to a ``planes_per_band``-bit bucket; a pair
+    is a candidate iff it collides in >=1 band (OR of ANDs — MinHash-LSH's
+    amplification applied to random hyperplanes). Collision prob for a
+    pair at cosine s is 1-(1-p^r)^b with p = 1 - arccos(s)/pi, so recall
+    rises steeply with s: ~0.79 at s=0.45, ~0.97 at s=0.7 with the
+    defaults. Candidates are verified with the exact cosine, so every
+    emitted pair truly clears the threshold (precision 1; recall < 1).
+
+    Scale shape: the self-join keys on (band, bucket) — candidate volume
+    is sum of per-bucket C(n,2), never all-pairs; buckets shard across the
+    cluster and skewed buckets split under AQE. Vector payloads join back
+    by id AFTER pair dedup, so wide arrays move once per surviving pair."""
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    mask = (1 << planes_per_band) - 1
+    c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    sig = c.withColumn("sig", lsh_bucket(F.col("v"), planes)).select("vid", "sig")
+    banded = sig.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sig", b * planes_per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    va = c.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means by cosine, Lloyd iterations
+    as DataFrame jobs. Deterministic: init = the ``n_cells`` lowest-id
+    vectors; updated centroids are rounded to 6 dp on collect so run-order
+    float-sum jitter cannot flip a borderline cell assignment between
+    runs. Only the k×dim centroid matrix is ever collected (metadata-
+    sized); assignment and the mean-update (posexplode + groupBy avg over
+    (cell, position)) stay distributed."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    c = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assigned = c.withColumn("cell", nearest_cell(F.col("v"), cents))
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {int(r["cell"]): [round(float(x), 6) for x in r["centroid"]] for r in rows}
+        # empty cells keep their previous centroid
+        cents = [new.get(i, cents[i]) for i in range(n_cells)]
+    return cents
+
+
+def nearest_cell(vec_col, centroids: list[list[float]]):
+    """0-based index of the max-cosine centroid (ties -> lowest index).
+    Centroids inline as array literals, broadcast by the plan; the argmax
+    compares the max against its own element so double equality is exact."""
+    sims = F.array(*[
+        cosine(vec_col, F.array(*[F.lit(float(x)) for x in cvec])) for cvec in centroids
+    ])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: exhaustive cosine search restricted to each query's
+    ``nprobe`` nearest quantizer cells (recall < 1 by design — a true
+    neighbor assigned to an unprobed cell is missed; raise nprobe to trade
+    cost for recall, nprobe = n_cells degenerates to brute force).
+
+    Scale shape: the corpus is scanned once to tag cells (in a real
+    deployment the cell id is a persisted/partitioned column, so probing
+    prunes files); queries explode to nprobe (cell, query) rows on the
+    tiny broadcast side; the join fans each query out to its probed cells
+    only. Output matches brute_force_topk for recall evaluation."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", nearest_cell(F.col("cv"), cents))
+    csims = F.array(*[
+        F.struct(
+            cosine(F.col("qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+            F.lit(i).alias("cell"),
+        )
+        for i, cvec in enumerate(cents)
+    ])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("_probe", F.slice(F.reverse(F.array_sort(csims)), 1, nprobe))
+        .withColumn("cell", F.explode(F.transform("_probe", lambda s: s["cell"])))
+        .drop("_probe")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )

@@ -330,6 +330,67 @@ def q33_image_maintenance(spark, sf_dir):
     )
 
 
+# --- q39: embedding-cosine near-dup, exact (oracle-checked) ------------------------------
+
+
+def q39_embedding_neardup(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (threshold 0.45 on this
+    corpus — the synthetic embeddings top out ~0.5-0.6 cosine). All-pairs
+    O(n^2) audit baseline; the scale path is q40's banded LSH. Spark's
+    aggregate/zip_with cosine is bit-identical to DuckDB's
+    list_cosine_similarity here, so the threshold cannot disagree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+Q39_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+# --- q40: embedding-cosine near-dup via banded sign-LSH (scale path, self-checked) -------
+
+
+def q40_embedding_neardup_lsh(spark, sf_dir):
+    """Banded sign-LSH near-dup candidates + exact verify, with an
+    in-query self-check: in_exact marks membership in the exact q39 pair
+    set, so precision is visible per row (always true by construction —
+    candidates are exactly verified) and recall is the fraction of exact
+    pairs surfaced (pytest asserts the floor). Random-hyperplane sigs are
+    seeded engine-side -> no DuckDB oracle (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = S.lsh_neardup_pairs(emb, threshold=0.45, bands=8, planes_per_band=4)
+    exact = S.cosine_neardup_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b", F.lit(True).alias("in_exact")
+    )
+    return approx.join(exact, ["id_a", "id_b"], "left").withColumn(
+        "in_exact", F.coalesce("in_exact", F.lit(False))
+    )
+
+
+# --- q41: IVF ANN — k-means coarse quantizer + nprobe cell search (self-checked) ---------
+
+
+def q41_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k with the q28-style recall self-check column:
+    in_exact_topk marks whether each IVF neighbor is in the brute-force
+    top-k for the same query. k-means training is Lloyd-as-DataFrame-jobs
+    (seeded deterministic init) -> no cross-engine oracle; pytest asserts
+    the recall floor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return approx.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
+        "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
+    )
+
+
 QUERIES = {
     "q23_dedup_exact": q23_dedup_exact,
     "q24_ngram_jaccard": q24_ngram_jaccard,
@@ -342,9 +403,13 @@ QUERIES = {
     "q31_doc_length_hist": q31_doc_length_hist,
     "q32_embedding_norms": q32_embedding_norms,
     "q33_image_maintenance": q33_image_maintenance,
+    "q39_embedding_neardup": q39_embedding_neardup,
+    "q40_embedding_neardup_lsh": q40_embedding_neardup_lsh,
+    "q41_ann_ivf": q41_ann_ivf,
 }
 
 ORACLES = {
+    "q39_embedding_neardup": Q39_SQL,
     "q23_dedup_exact": Q23_SQL,
     "q24_ngram_jaccard": Q24_SQL,
     "q27_ann_cosine_topk": Q27_SQL,

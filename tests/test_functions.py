@@ -268,6 +268,66 @@ def test_approx_query_self_checks(spark):
     assert recall >= 0.3, f"LSH top-k agreement {recall}"
 
 
+def test_cosine_neardup_exact_planted(spark):
+    """Planted near-dup pair must surface with sim ~1; orthogonal vectors
+    must not; output ids are ordered (id_a < id_b) and deduped."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.cosine_neardup_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["sim"] >= 0.999
+
+
+def test_lsh_neardup_recall_and_precision(spark):
+    """Banded sign-LSH near-dup: every emitted pair is exactly verified
+    (subset of the exact pair set — precision 1) and recall clears the
+    amplification floor (~0.79 expected at s=0.45 with 8 bands x 4
+    planes; floor 0.5 absorbs plane-draw variance)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in S.cosine_neardup_pairs(emb, threshold=0.45).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in S.lsh_neardup_pairs(emb, threshold=0.45).collect()}
+    assert exact, "corpus must have near-dup pairs at 0.45 for this test"
+    assert approx <= exact, f"false positives: {approx - exact}"
+    assert len(approx & exact) >= 0.5 * len(exact), (
+        f"LSH near-dup recall {len(approx & exact)}/{len(exact)}"
+    )
+
+
+def test_ivf_centroids_deterministic_and_topk_recall(spark):
+    """IVF: training twice yields identical centroids (seedless but
+    deterministic — ordered init + rounded collects); nprobe search recall
+    vs brute force clears the floor (measured 0.88 at both sf0.001 and
+    sf0.01 with 16 cells / nprobe 4)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    c1 = S.ivf_centroids(emb, n_cells=8, iters=2)
+    c2 = S.ivf_centroids(emb, n_cells=8, iters=2)
+    assert c1 == c2
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=3, iters=2).collect()
+    }
+    assert len(approx & exact) >= 0.6 * len(exact), (
+        f"IVF recall {len(approx & exact)}/{len(exact)}"
+    )
+    # nprobe = n_cells degenerates to brute force (exact by construction)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=8, iters=2).collect()
+    }
+    assert full == exact
+
+
 def test_hash_key_parity_null_and_bool(spark):
     """concat_ws semantics in the hash fallback: NULLs are skipped (no
     separator), booleans render 'true'/'false' — the numpy mirror must
