@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q29_text_quality",
     "q36_conformance",
     "q38_ocpn_arcs",
+    "q39_embedding_neardup",
 ]
 
 
