@@ -198,12 +198,21 @@ def ivf_centroids(
     return cents
 
 
+def _unit(cvec: list[float]) -> list[float]:
+    n = float(np.linalg.norm(cvec)) or 1.0
+    return [float(x) / n for x in cvec]
+
+
 def nearest_cell(vec_col, centroids: list[list[float]]):
     """0-based index of the max-cosine centroid (ties -> lowest index).
-    Centroids inline as array literals, broadcast by the plan; the argmax
-    compares the max against its own element so double equality is exact."""
+    Centroids are L2-normalized on the driver and inlined as literals, so
+    the per-row work is k dot products — cosine's |v| term is constant
+    across cells and the per-cell |c| folds would otherwise be recomputed
+    for every row (Catalyst does not constant-fold aggregate() over
+    literal arrays). The argmax compares the max against its own element,
+    so double equality is exact."""
     sims = F.array(*[
-        cosine(vec_col, F.array(*[F.lit(float(x)) for x in cvec])) for cvec in centroids
+        _dot(vec_col, F.array(*[F.lit(x) for x in _unit(cvec)])) for cvec in centroids
     ])
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
@@ -235,9 +244,11 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cell", nearest_cell(F.col("cv"), cents))
+    # probe ordering: |qv| is constant across cells, so dot against the
+    # unit centroid ranks cells identically to cosine at half the plan
     csims = F.array(*[
         F.struct(
-            cosine(F.col("qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+            _dot(F.col("qv"), F.array(*[F.lit(x) for x in _unit(cvec)])).alias("s"),
             F.lit(i).alias("cell"),
         )
         for i, cvec in enumerate(cents)
