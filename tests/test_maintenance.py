@@ -112,6 +112,16 @@ def test_compaction_equivalence_and_postconditions(spark, warehouse):
         .count()
     )
     assert diff == 0
+    # sort-order postcondition: every compacted file is internally sorted by
+    # the table sort order (phash), so footer min/max stay tight for pruning
+    import pyarrow.parquet as pq
+
+    rewritten = [e for e in t.live_entries() if e.size_bytes >= small]
+    assert rewritten, "compaction must have produced merged files"
+    for e in rewritten:
+        p = os.path.join(t.root, e.path)
+        ph = pq.read_table(p, columns=["phash"]).column("phash").to_pylist()
+        assert ph == sorted(ph), f"compacted file {e.path} not sorted by phash"
 
 
 def test_zorder_cluster_tightens_phash_bounds(spark, warehouse):
