@@ -43,65 +43,111 @@ BENCH_QUERIES = [
     "q29_text_quality",
     "q36_conformance",
     "q38_ocpn_arcs",
-    "q39_embedding_neardup",
+    "q39_embedding_neardup",  # exact O(n^2) audit baseline — deliberately quadratic
+    "q40_embedding_neardup_lsh",  # the banded-LSH scale path over the same embeddings
 ]
 
 
-def image_maintenance_bench(spark, n_rows: int, n_files: int) -> dict:
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
+def _fragmented_table(spark, wh: str, n_rows: int, n_files: int):
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "bench.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 16),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(32 * 1024 * 1024),
+                "compact.small-file-bytes": str(8 * 1024 * 1024),
+            },
+        ),
+    )
+    t.append(
+        synth_images_df(spark, n_rows=n_rows, seed=42),
+        num_files=n_files,
+        distribution="fragment",
+    )
+    return cat, t
+
+
+def _checksum(spark, t):
+    return (
+        t.scan(spark)
+        .agg(
+            F.sum(F.xxhash64(F.md5("bytes")).cast("decimal(38,0)")).alias("b"),
+            F.sum(F.xxhash64("caption").cast("decimal(38,0)")).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+
+
+def _warmup_python_workers(spark, cpus: int) -> None:
+    """One throwaway Arrow job so worker spawn + pandas/pyarrow imports
+    don't land inside the timed section (same as tools/scaling_bench.py)."""
+    import pandas as pd
+
+    df = spark.range(cpus * 4).repartition(cpus)
+    df.mapInPandas(lambda it: (pdf for pdf in it), "id long").count()
+    _ = pd  # imported on workers via the lambda's module
+
+
+def image_maintenance_bench(spark, n_rows: int, n_files: int, cpus: int) -> dict:
+    """Headline: the FUSED single-pass rewrite (bin-pack + Z-order cluster in
+    one pass over the bytes — the production protocol, maintenance CLI
+    --op rewrite, and the BENCH/BASELINE.md north metric). The two-pass
+    compact-then-cluster time is also measured on a fresh identical table
+    and reported for comparability with BENCH_r01."""
+    _warmup_python_workers(spark, cpus)
+
+    # fused: one pass, one table
+    wh1 = tempfile.mkdtemp(prefix="bench_wh_fused_")
     try:
-        cat = Catalog(wh)
-        t = cat.create_table(
-            "bench.images",
-            IMAGE_SCHEMA,
-            TableSpec(
-                partition_spec=PartitionSpec.bucket("image_id", 16),
-                sort_order=SortOrder.by("phash"),
-                properties={
-                    "write.target-file-size-bytes": str(32 * 1024 * 1024),
-                    "compact.small-file-bytes": str(8 * 1024 * 1024),
-                },
-            ),
-        )
-        t.append(
-            synth_images_df(spark, n_rows=n_rows, seed=42),
-            num_files=n_files,
-            distribution="fragment",
-        )
+        cat, t = _fragmented_table(spark, wh1, n_rows, n_files)
         st = SystemTables(cat.warehouse)
-
-        def checksum():
-            return (
-                t.scan(spark)
-                .agg(
-                    F.sum(F.xxhash64(F.md5("bytes")).cast("decimal(38,0)")).alias("b"),
-                    F.sum(F.xxhash64("caption").cast("decimal(38,0)")).alias("c"),
-                    F.count("*").alias("n"),
-                )
-                .first()
-            )
-
-        base = checksum()
+        base = _checksum(spark, t)
         total_bytes = sum(e.size_bytes for e in t.live_entries())
+        t0 = time.time()
+        execute_cluster(spark, t, st, "bench.images", curve="zorder")
+        t.refresh()
+        fused_dt = time.time() - t0
+        fused_equiv = _checksum(spark, t) == base
+    finally:
+        shutil.rmtree(wh1, ignore_errors=True)
 
+    # two-pass on a fresh identical table (BENCH_r01's protocol)
+    wh2 = tempfile.mkdtemp(prefix="bench_wh_2pass_")
+    try:
+        cat, t = _fragmented_table(spark, wh2, n_rows, n_files)
+        st = SystemTables(cat.warehouse)
+        base = _checksum(spark, t)
         t0 = time.time()
         execute_compaction(spark, t, st, "bench.images")
         t.refresh()
         execute_cluster(spark, t, st, "bench.images", curve="zorder")
         t.refresh()
-        dt = time.time() - t0
-
-        equivalent = checksum() == base
-        return {
-            "rows": n_rows,
-            "bytes": total_bytes,
-            "maintenance_sec": round(dt, 3),
-            "images_per_sec": round(n_rows / dt, 1),
-            "gb_per_sec": round(total_bytes / dt / 1e9, 4),
-            "scan_equivalence": 1.0 if equivalent else 0.0,
-        }
+        twopass_dt = time.time() - t0
+        twopass_equiv = _checksum(spark, t) == base
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(wh2, ignore_errors=True)
+
+    return {
+        "rows": n_rows,
+        "bytes": total_bytes,
+        # headline stays the BENCH_r01 protocol (compact then cluster) so the
+        # round-over-round delta is apples-to-apples; the fused single-pass
+        # rewrite (--op rewrite) is reported alongside — it wins at the
+        # 480k-row scaling-bench size (BENCH/BASELINE.md) but pays more
+        # fixed bounds-sampling cost at this toy row count
+        "protocol": "two-pass compact+cluster (r01 protocol); fused reported alongside",
+        "maintenance_sec": round(twopass_dt, 3),
+        "images_per_sec": round(n_rows / twopass_dt, 1),
+        "gb_per_sec": round(total_bytes / twopass_dt / 1e9, 4),
+        "scan_equivalence": 1.0 if twopass_equiv else 0.0,
+        "fused_sec": round(fused_dt, 3),
+        "fused_images_per_sec": round(n_rows / fused_dt, 1),
+        "fused_scan_equivalence": 1.0 if fused_equiv else 0.0,
+    }
 
 
 def main() -> int:
@@ -114,7 +160,7 @@ def main() -> int:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    maint = image_maintenance_bench(spark, n_rows, n_files=max(16, n_rows // 125))
+    maint = image_maintenance_bench(spark, n_rows, n_files=max(16, n_rows // 125), cpus=cpus)
 
     queries = {}
     for name in BENCH_QUERIES:

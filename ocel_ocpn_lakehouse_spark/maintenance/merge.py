@@ -21,6 +21,12 @@ Copy-on-write at FILE granularity:
      forward unchanged in the replace-snapshot commit;
   4. old snapshot still references the pre-merge files → time travel
      reproduces pre-merge results.
+
+Planning routes like compaction/clustering: below ~10^4 files the manifest
+is materialized on the driver; above, planning runs over ``entries_df`` —
+the driver collects only bucket-pruned path strings for the probe and the
+touched files' entry rows (bounded by the source key count), never the
+whole manifest.
 """
 
 from __future__ import annotations
@@ -148,6 +154,7 @@ def merge_into(
     op_col: str = "_op",
     sys_tables: SystemTables | None = None,
     table_name: str = "",
+    planning: str = "auto",  # auto | driver | distributed
 ) -> dict:
     t0 = time.time()
     data_cols = table.schema.fieldNames()
@@ -170,8 +177,7 @@ def merge_into(
         spec_buckets = {
             f for f in table.partition_spec.fields if f.transform == "bucket" and f.source == key
         }
-        entries = table.live_entries()
-        probe_entries = entries
+        buckets: set | None = None
         if spec_buckets:
             bf = next(iter(spec_buckets))
             buckets = {
@@ -182,15 +188,67 @@ def merge_into(
                 .distinct()
                 .collect()
             }
-            probe_entries = [
-                e for e in entries if e.partition.get(bf.name, e.partition.get(bf.partition_column)) in buckets
-                or not e.partition
-            ]
 
         import os
 
-        if probe_entries:
+        # planning: 'driver' materializes the manifest (fine to ~10^4 files);
+        # 'distributed' keeps entries in entries_df — the driver collects only
+        # the bucket-pruned PATH STRINGS for the probe and, later, the full
+        # entry rows for the touched files (bounded by the source key count,
+        # metadata-sized), never the whole manifest (same routing as
+        # plan_compaction_distributed / execute_cluster's distributed planner)
+        if planning == "auto":
+            planning = (
+                "distributed" if table.entries_df(spark).count() > 10_000 else "driver"
+            )
+        if planning == "driver":
+            entries = table.live_entries()
+            probe_entries = entries
+            if buckets is not None:
+                probe_entries = [
+                    e
+                    for e in entries
+                    if e.partition.get(bf.name, e.partition.get(bf.partition_column)) in buckets
+                    or not e.partition
+                ]
             probe_paths = [os.path.join(table.root, e.path) for e in probe_entries]
+            norm_to_entry = {
+                _norm_path_py(os.path.join(table.root, e.path)): e for e in entries
+            }
+
+            def _touched_from(norms: set) -> list:
+                return [norm_to_entry[n] for n in sorted(norms)]
+
+        else:
+            edf = table.entries_df(spark)
+            pedf = edf
+            if buckets is not None:
+                bval = F.coalesce(
+                    F.get_json_object("partition", f"$.{bf.name}"),
+                    F.get_json_object("partition", f"$.{bf.partition_column}"),
+                ).cast("int")
+                pedf = edf.filter(bval.isin(*buckets) | bval.isNull())
+            probe_paths = [
+                os.path.join(table.root, r["path"])
+                for r in pedf.select("path").collect()
+            ]
+
+            def _touched_from(norms: set) -> list:
+                if not norms:
+                    return []
+                from ..core import manifests as mf
+
+                root = table.root
+                norm_expr = _norm_path_sql(
+                    F.concat(F.lit(root.rstrip("/") + "/"), F.col("path"))
+                )
+                rows = edf.withColumn("_norm", norm_expr).filter(
+                    F.col("_norm").isin(*norms)
+                ).collect()
+                by_norm = {r["_norm"]: mf.ManifestEntry.from_row(r.asDict()) for r in rows}
+                return [by_norm[n] for n in sorted(norms)]
+
+        if probe_paths:
             tgt = (
                 spark.read.schema(table.schema)
                 .parquet(*probe_paths)
@@ -203,8 +261,7 @@ def merge_into(
         else:
             touched_norm = set()
 
-        norm_to_entry = {_norm_path_py(os.path.join(table.root, e.path)): e for e in entries}
-        touched_entries = [norm_to_entry[n] for n in sorted(touched_norm)]
+        touched_entries = _touched_from(touched_norm)
 
         # --- 3: rewrite touched files + write all upserts
         upserts = src.filter(F.col(op_col) == "upsert").select(*data_cols)
@@ -241,10 +298,12 @@ def merge_into(
 
         n_upserts = upserts.count()
         if n_upserts:
-            live = table.live_entries()
-            avg_row = (
-                sum(e.size_bytes for e in live) / max(1, sum(e.record_count for e in live))
-            ) if live else 8192
+            tot = (
+                table.entries_df(spark)
+                .agg(F.sum("size_bytes").alias("b"), F.sum("record_count").alias("r"))
+                .first()
+            )
+            avg_row = (tot["b"] / max(1, tot["r"])) if tot["b"] else 8192
             n_files = max(1, -(-int(n_upserts * avg_row) // table.target_file_size))
             new_entries = new_entries + table.write_data_files(upserts, num_files=int(n_files))
             n_new_rows += n_upserts

@@ -250,6 +250,26 @@ def test_merge_upsert_delete_against_oracle(spark, warehouse):
     assert t.scan(spark, snapshot_id=pre_snap).count() == 200
 
 
+def test_merge_distributed_planning_parity(spark, warehouse):
+    """Forced-distributed merge planning (entries_df, no driver manifest
+    materialization) commits the identical post-merge table state as the
+    default driver planner on a second identical table."""
+    source = synth_merge_source_df(spark, n_target_rows=200, seed=42)
+    states = {}
+    for planning in ("driver", "distributed"):
+        cat, t = fragmented_table(
+            spark, warehouse, name=f"ocel.m_{planning}", n_rows=200, n_files=10
+        )
+        res = merge_into(spark, t, source, key="image_id", planning=planning)
+        assert res["status"] == "committed"
+        t.refresh()
+        states[planning] = (
+            column_checksums(t.scan(spark)),
+            res["touched_files"],
+        )
+    assert states["driver"] == states["distributed"]
+
+
 def test_compaction_resume_idempotent(spark, warehouse):
     cat, t = fragmented_table(spark, warehouse, n_rows=200, n_files=12)
     sys_tables = SystemTables(cat.warehouse)
