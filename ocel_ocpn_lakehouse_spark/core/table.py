@@ -413,6 +413,18 @@ class Table:
                 n_removed: int | str = "all"
             else:
                 current = mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
+                live_paths = {e.path for e in current}
+                gone = removed_paths - live_paths
+                if gone:
+                    # a file planned for replacement is no longer live: a
+                    # concurrent commit (e.g. MERGE) rewrote or dropped it,
+                    # and committing would resurrect its rows through the
+                    # rewritten output. Fail the rewrite, never the data —
+                    # Iceberg's RewriteFiles applies the same validation.
+                    raise meta.ConflictError(
+                        f"{len(gone)} file(s) planned for replacement are no "
+                        f"longer live (concurrent commit): {sorted(gone)[:3]}..."
+                    )
                 survivors = [e for e in current if e.path not in removed_paths]
                 n_removed = len(removed_paths)
             for e in added_entries:

@@ -35,7 +35,15 @@ def evolve_partition_spec(
     rewrite: bool = True,
 ) -> dict:
     t0 = time.time()
-    entries = table.live_entries()
+    # whole-table rewrite: only path strings + byte totals reach the driver
+    # (entries_df, not live_entries — full manifest entries never materialize)
+    from pyspark.sql import functions as F
+
+    edf = table.entries_df(spark)
+    tot = edf.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("size_bytes"), F.lit(0)).alias("b")
+    ).first()
+    files_before, total_bytes = tot["n"], tot["b"]
 
     # metadata-only spec change (new writes immediately use the new spec)
     md = meta.load_metadata(table.root)
@@ -46,18 +54,20 @@ def evolve_partition_spec(
     result = {
         "status": "spec-updated",
         "rewrite": rewrite,
-        "files_before": len(entries),
+        "files_before": files_before,
     }
-    if not rewrite or not entries:
+    if not rewrite or not files_before:
         return result
 
-    # rewrite all old-spec files under the new layout (one job + one commit)
+    # rewrite all old-spec files under the new layout (one job + one commit);
+    # the removed set is the pre-evolution path list, so a concurrent append
+    # written under the NEW spec survives the manifest rewrite correctly
+    old_paths = {r["path"] for r in edf.select("path").collect()}
     df = table.scan(spark)
-    total_bytes = sum(e.size_bytes for e in entries)
     n_files = max(1, -(-total_bytes // table.target_file_size))
     new_entries = table.write_data_files(df, num_files=int(n_files))
     table.commit_replace(
-        {e.path for e in entries},
+        old_paths,
         new_entries,
         operation="replace",
         summary={"op": "evolve-partition-spec"},
@@ -70,7 +80,7 @@ def evolve_partition_spec(
                 "op": "evolve",
                 "table_name": table_name,
                 "partition_id": "*",
-                "files_before": len(entries),
+                "files_before": files_before,
                 "files_after": len(new_entries),
                 "bytes_before": total_bytes,
                 "bytes_after": sum(e.size_bytes for e in new_entries),

@@ -375,6 +375,36 @@ def test_replace_all_conflict_guard(spark, warehouse):
         )
 
 
+def test_replaced_file_liveness_guard(spark, warehouse):
+    """The removed-set commit form validates every replaced file is still
+    live: a concurrent commit that rewrote one of compaction's planned
+    input files (here a MERGE deleting rows from it) must fail the
+    compaction commit — otherwise the compacted output would resurrect
+    the deleted rows. Concurrent APPENDS remain tolerated (appended files
+    simply survive the manifest rewrite)."""
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+
+    cat, t = fragmented_table(spark, warehouse, n_rows=200, n_files=10)
+    sys_tables = SystemTables(cat.warehouse)
+    plan = plan_compaction(t)
+    assert plan
+
+    # concurrent MERGE between plan and execute: deletes rows, rewriting
+    # (or dropping) files the compaction plan still references
+    source = synth_merge_source_df(spark, n_target_rows=200, seed=42)
+    merge_into(spark, t, source, key="image_id")
+    t.refresh()
+    post_merge = column_checksums(t.scan(spark))
+
+    stale = t  # compaction executes against its stale plan
+    with pytest.raises(meta.ConflictError):
+        execute_compaction(spark, stale, sys_tables, "ocel.images", groups=plan)
+
+    # the failed rewrite changed nothing: post-merge state intact
+    t.refresh()
+    assert column_checksums(t.scan(spark)) == post_merge
+
+
 def test_cluster_identity_string_partition(spark, warehouse):
     """An identity partition on a STRING column (fmt) must range-bucket and
     rewrite correctly — the bounds/mapping DataFrames derive partition-column
