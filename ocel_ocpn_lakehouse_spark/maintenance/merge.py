@@ -146,6 +146,79 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
     return entries, n_rows
 
 
+def _any_key_in_bounds(sorted_keys: list, lo, hi) -> bool:
+    """True iff some source key falls in the file's [lo, hi] key range.
+
+    ``sorted_keys`` is the sorted non-null source key list; bounds arrive as
+    JSON-decoded manifest footer stats (possibly stringified). Coerce the
+    bounds to the key type; on ANY doubt (missing bounds, coercion failure,
+    cross-type comparison) return True — pruning must never skip a file it
+    cannot prove untouched.
+    """
+    import bisect
+
+    if not sorted_keys or lo is None or hi is None:
+        return True
+    kt = type(sorted_keys[0])
+    try:
+        lo, hi = kt(lo), kt(hi)
+        i = bisect.bisect_left(sorted_keys, lo)
+        return i < len(sorted_keys) and sorted_keys[i] <= hi
+    except (TypeError, ValueError):
+        return True
+
+
+def _probe_touched_arrow(spark, table, specs, key_list, key) -> set:
+    """Touched-file probe as an Arrow key-column job.
+
+    ``specs`` is a DataFrame of (path, lo, hi) metadata rows — relative
+    path plus lower/upper bounds JSON; in distributed planning it flows
+    straight from ``entries_df``, so the driver never holds a per-file
+    object on the probe path. Returns the set of RELATIVE paths of
+    files holding ≥1 source key. Each one-core task first prunes on the
+    file's manifest key bounds (bisect over the sorted broadcast keys — no
+    I/O at all for files whose key range excludes every source key, the
+    step that makes point-ish merges metadata-bounded on clustered
+    tables), then reads only the key column of surviving files (pyarrow,
+    through ``read_table_nullfill`` so post-evolution key columns
+    null-fill) and set-probes it against the broadcast source keys.
+    """
+    import os
+
+    from ..core import manifests as mf
+
+    nonnull = sorted(k for k in key_list if k is not None)
+    keys_b = spark.sparkContext.broadcast((set(nonnull), nonnull))
+    root = table.root
+    arrow_schema = mf.spark_to_arrow_schema(table.schema)
+
+    def _task(batches):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)  # one Arrow thread per one-core task
+        kset, ksorted = keys_b.value
+        for pdf in batches:
+            hits = []
+            for rp, lo_j, hi_j in zip(pdf["path"], pdf["lo"], pdf["hi"]):
+                lo = (_json.loads(lo_j) or {}).get(key) if lo_j else None
+                hi = (_json.loads(hi_j) or {}).get(key) if hi_j else None
+                if not _any_key_in_bounds(ksorted, lo, hi):
+                    continue
+                vals = mf.read_table_nullfill(
+                    os.path.join(root, rp), arrow_schema, columns=[key]
+                )[key].to_pylist()
+                if not kset.isdisjoint(vals):
+                    hits.append(rp)
+            yield pd.DataFrame({"path": pd.Series(hits, dtype="object")})
+
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    out = specs.repartition(n_parts).mapInPandas(_task, "path string")
+    return {r["path"] for r in out.collect()}
+
+
 def merge_into(
     spark: SparkSession,
     table: Table,
@@ -211,13 +284,27 @@ def merge_into(
                     if e.partition.get(bf.name, e.partition.get(bf.partition_column)) in buckets
                     or not e.partition
                 ]
-            probe_paths = [os.path.join(table.root, e.path) for e in probe_entries]
-            norm_to_entry = {
-                _norm_path_py(os.path.join(table.root, e.path)): e for e in entries
-            }
+            import json as _json
 
-            def _touched_from(norms: set) -> list:
-                return [norm_to_entry[n] for n in sorted(norms)]
+            spec_df = spark.createDataFrame(
+                [
+                    (
+                        e.path,
+                        _json.dumps(e.lower_bounds, default=str),
+                        _json.dumps(e.upper_bounds, default=str),
+                    )
+                    for e in probe_entries
+                ],
+                "path string, lo string, hi string",
+            )
+
+            def _fallback_paths() -> list:
+                return [e.path for e in probe_entries]
+
+            by_path = {e.path: e for e in entries}
+
+            def _touched_from(rels: set) -> list:
+                return [by_path[p] for p in sorted(rels)]
 
         else:
             edf = table.entries_df(spark)
@@ -228,40 +315,57 @@ def merge_into(
                     F.get_json_object("partition", f"$.{bf.partition_column}"),
                 ).cast("int")
                 pedf = edf.filter(bval.isin(*buckets) | bval.isNull())
-            probe_paths = [
-                os.path.join(table.root, r["path"])
-                for r in pedf.select("path").collect()
-            ]
+            spec_df = pedf.select(
+                "path",
+                F.col("lower_bounds").alias("lo"),
+                F.col("upper_bounds").alias("hi"),
+            )
 
-            def _touched_from(norms: set) -> list:
-                if not norms:
+            def _fallback_paths() -> list:
+                return [r["path"] for r in pedf.select("path").collect()]
+
+            def _touched_from(rels: set) -> list:
+                if not rels:
                     return []
                 from ..core import manifests as mf
 
-                root = table.root
-                norm_expr = _norm_path_sql(
-                    F.concat(F.lit(root.rstrip("/") + "/"), F.col("path"))
-                )
-                rows = edf.withColumn("_norm", norm_expr).filter(
-                    F.col("_norm").isin(*norms)
-                ).collect()
-                by_norm = {r["_norm"]: mf.ManifestEntry.from_row(r.asDict()) for r in rows}
-                return [by_norm[n] for n in sorted(norms)]
+                rel_df = spark.createDataFrame([(p,) for p in rels], "path string")
+                rows = edf.join(F.broadcast(rel_df), "path").collect()
+                got = {r["path"]: mf.ManifestEntry.from_row(r.asDict()) for r in rows}
+                return [got[p] for p in sorted(rels)]
 
-        if probe_paths:
-            tgt = (
-                spark.read.schema(table.schema)
-                .parquet(*probe_paths)
-                .withColumn("_file", _norm_path_sql(F.input_file_name()))
-            )
-            touched_norm = {
-                r["_file"]
-                for r in tgt.join(src_keys, key, "inner").select("_file").distinct().collect()
-            }
+        if key_list is not None:
+            # Arrow key-column probe with manifest-bounds pre-pruning: tasks
+            # skip files whose key range excludes every source key, then read
+            # ONLY the key column of survivors with pyarrow and set-probe it
+            # against the broadcast source keys. The JVM scan this replaces
+            # paid per-file reader setup (~50 ms/file — minutes at 10^5 tiny
+            # files); the Arrow footer read + one-column decode is the same
+            # cost model as every other maintenance task here.
+            touched_rel = _probe_touched_arrow(spark, table, spec_df, key_list, key)
         else:
-            touched_norm = set()
+            # huge source: keys don't fit a broadcast set — JVM scan +
+            # distributed semi-join probe (the key column still prunes at
+            # the parquet reader; per-file setup amortizes over the big read)
+            fb_paths = _fallback_paths()
+            if not fb_paths:
+                touched_rel = set()
+            else:
+                norm_root = _norm_path_py(table.root).rstrip("/")
+                tgt = (
+                    spark.read.schema(table.schema)
+                    .parquet(*[os.path.join(table.root, p) for p in fb_paths])
+                    .withColumn("_file", _norm_path_sql(F.input_file_name()))
+                )
+                touched_rel = {
+                    r["_file"][len(norm_root) + 1 :]
+                    for r in tgt.join(src_keys, key, "inner")
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                }
 
-        touched_entries = _touched_from(touched_norm)
+        touched_entries = _touched_from(touched_rel)
 
         # --- 3: rewrite touched files + write all upserts
         upserts = src.filter(F.col(op_col) == "upsert").select(*data_cols)

@@ -565,6 +565,63 @@ def test_merge_null_key_rows_survive(spark, warehouse):
     assert ("A", "a") not in got
 
 
+def test_merge_bounds_pruning_unit():
+    """_any_key_in_bounds: bisect overlap between the sorted source keys and
+    a file's [lo, hi] manifest key range, with conservative fallbacks."""
+    from ocel_ocpn_lakehouse_spark.maintenance.merge import _any_key_in_bounds
+
+    keys = [10, 20, 30]
+    assert _any_key_in_bounds(keys, 15, 25)  # 20 inside
+    assert _any_key_in_bounds(keys, 30, 99)  # boundary hit
+    assert _any_key_in_bounds(keys, 0, 10)  # boundary hit low
+    assert not _any_key_in_bounds(keys, 21, 29)  # gap between keys
+    assert not _any_key_in_bounds(keys, 31, 99)  # above all
+    assert not _any_key_in_bounds(keys, 0, 9)  # below all
+    # stringified bounds (JSON default=str) coerce to the key type
+    assert _any_key_in_bounds(keys, "15", "25")
+    assert not _any_key_in_bounds(keys, "21", "29")
+    # string keys compare lexicographically
+    assert _any_key_in_bounds(["img_05", "img_99"], "img_90", "img_zz")
+    assert not _any_key_in_bounds(["img_05", "img_99"], "img_10", "img_20")
+    # conservative: missing/uncoercible bounds or empty keys never prune
+    assert _any_key_in_bounds(keys, None, 25)
+    assert _any_key_in_bounds(keys, 15, None)
+    assert _any_key_in_bounds(keys, "not-a-number", "25")
+    assert _any_key_in_bounds([], 15, 25)
+
+
+def test_merge_probe_bounds_prune_skips_untouched_files(spark, warehouse):
+    """On a table clustered by the merge key, a narrow-key-range merge must
+    leave files outside the range untouched — and produce the same result
+    as the pandas oracle."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images_by_key",
+        IMAGE_SCHEMA,
+        TableSpec(sort_order=SortOrder.by("image_id"), properties=TEST_PROPS),
+    )
+    df = synth_images_df(spark, n_rows=200, seed=42)
+    # range-distribute so each file covers a disjoint image_id range
+    t.append(df.repartitionByRange(8, "image_id").sortWithinPartitions("image_id"))
+    files_before = len(t.live_entries())
+    assert files_before >= 4
+
+    # delete 3 consecutive keys: they live in at most 2 range files
+    ids = sorted(r[0] for r in t.scan(spark).select("image_id").collect())
+    victims = ids[50:53]
+    src = (
+        t.scan(spark)
+        .filter(F.col("image_id").isin(victims))
+        .withColumn("_op", F.lit("delete"))
+    )
+    res = merge_into(spark, t, src, key="image_id")
+    assert res["status"] == "committed"
+    assert res["touched_files"] <= 2
+    t.refresh()
+    assert t.scan(spark).count() == 200 - 3
+    assert t.scan(spark).filter(F.col("image_id").isin(victims)).count() == 0
+
+
 def test_fused_rewrite_matches_compact_then_cluster(spark, warehouse):
     """--op rewrite (cluster on fragmented input) must land the same table
     state as compact-then-cluster in HALF the byte passes: identical

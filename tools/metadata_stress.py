@@ -7,13 +7,18 @@ plan → one Arrow rewrite job (hundreds of groups, each reading hundreds
 of files) → single replace-snapshot commit → scan equivalence. Reports
 where the time goes and peak driver RSS.
 
-Usage: python tools/metadata_stress.py [n_files] [cpus] [compact|cluster]
+Usage: python tools/metadata_stress.py [n_files] [cpus] [compact|cluster|merge]
 
 `cluster` runs the fused single-pass rewrite (execute_cluster on the
 fragmented input — bin-pack + curve-cluster in one pass) over the same
 ~100k-file manifest: per-task fragment batching keeps the shuffle-write
 fan-out at #tasks × buckets, so metadata scale stresses the planner and
 the commit, not the filesystem.
+
+`merge` runs MERGE INTO (1% deletes + 1% upserts) against the ~100k-file
+manifest — above the 10^4-file routing threshold, so planning runs
+distributed: the driver collects only bucket-pruned path strings and the
+touched files' entry rows, never the full manifest.
 """
 
 from __future__ import annotations
@@ -70,6 +75,28 @@ def main() -> int:
         if op == "cluster":
             res = execute_cluster(spark, t, SystemTables(cat.warehouse), "stress.rows")
             res.setdefault("groups", res.get("files_after", 0))
+        elif op == "merge":
+            from pyspark.sql import functions as F
+
+            from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+
+            n = rows_before
+            src = (
+                spark.range(0, n, 100)  # 1% of keys: even hits delete, odd upsert
+                .selectExpr(
+                    "id",
+                    "repeat(cast(id as string), 40) payload",
+                )
+                .withColumn(
+                    "_op",
+                    F.when((F.col("id") / 100 % 2) == 0, F.lit("delete")).otherwise(
+                        F.lit("upsert")
+                    ),
+                )
+            )
+            res = merge_into(spark, t, src, key="id")
+            res.setdefault("groups", res.get("touched_files", 0))
+            res.setdefault("phases", {"merge_s": res.get("duration_ms", 0) / 1000})
         else:
             res = execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
         compact_s = time.time() - t1
@@ -77,6 +104,12 @@ def main() -> int:
         rows_after = t.scan(spark).count()
         rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
+        if op == "merge":
+            # deletes remove their rows; upserts replace 1:1 (all keys exist)
+            n_del = len([i for i in range(0, rows_before, 100) if (i // 100) % 2 == 0])
+            rows_expected = rows_before - n_del
+        else:
+            rows_expected = rows_before
         out = {
             "op": op,
             "requested_files": n_files,
@@ -84,7 +117,7 @@ def main() -> int:
             "files_after": len(t.live_entries()),
             "groups": res["groups"],
             "rows": rows_before,
-            "rows_match": rows_before == rows_after,
+            "rows_match": rows_expected == rows_after,
             "gen_s": round(gen_s, 1),
             "compact_s": round(compact_s, 1),
             "compact_phases": res["phases"],
@@ -92,7 +125,8 @@ def main() -> int:
             "status": res["status"],
         }
         print(json.dumps(out))
-        assert out["rows_match"] and out["files_after"] < files
+        assert out["rows_match"]
+        assert op == "merge" or out["files_after"] < files
         return 0
     finally:
         spark.stop()
