@@ -355,20 +355,17 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 def q40_embedding_neardup_lsh(spark, sf_dir):
-    """Banded sign-LSH near-dup candidates + exact verify, with an
-    in-query self-check: in_exact marks membership in the exact q39 pair
-    set, so precision is visible per row (always true by construction —
-    candidates are exactly verified) and recall is the fraction of exact
-    pairs surfaced (pytest asserts the floor). Random-hyperplane sigs are
-    seeded engine-side -> no DuckDB oracle (rows-only check)."""
+    """Banded sign-LSH near-dup candidates + exact verify (the scale path
+    next to q39's all-pairs audit). Every emitted pair is exactly verified
+    in-query, so precision is 1 by construction; recall against the exact
+    pair set is asserted in pytest (test_lsh_neardup_recall_and_precision)
+    rather than in-query — joining the exact set here would reintroduce
+    the O(n^2) cost this path exists to avoid (an earlier revision did,
+    and 'benchmarked' LSH slower than brute force while computing an
+    always-true column). Random-hyperplane sigs are seeded engine-side ->
+    no DuckDB oracle (rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
-    approx = S.lsh_neardup_pairs(emb, threshold=0.45, bands=8, planes_per_band=4)
-    exact = S.cosine_neardup_pairs(emb, threshold=0.45).select(
-        "id_a", "id_b", F.lit(True).alias("in_exact")
-    )
-    return approx.join(exact, ["id_a", "id_b"], "left").withColumn(
-        "in_exact", F.coalesce("in_exact", F.lit(False))
-    )
+    return S.lsh_neardup_pairs(emb, threshold=0.45)
 
 
 # --- q41: IVF ANN — k-means coarse quantizer + nprobe cell search (self-checked) ---------

@@ -286,8 +286,9 @@ def test_cosine_neardup_exact_planted(spark):
 def test_lsh_neardup_recall_and_precision(spark):
     """Banded sign-LSH near-dup: every emitted pair is exactly verified
     (subset of the exact pair set — precision 1) and recall clears the
-    amplification floor (~0.79 expected at s=0.45 with 8 bands x 4
-    planes; floor 0.5 absorbs plane-draw variance)."""
+    amplification floor (~0.73 expected at s=0.45 with 64 bands x 9
+    planes; measured 0.86 at sf0.001 / 0.82 at sf0.1; floor 0.5 absorbs
+    plane-draw variance on the tiny pair sets)."""
     sf = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"]) for r in S.cosine_neardup_pairs(emb, threshold=0.45).collect()}
