@@ -56,14 +56,18 @@ def brute_force_topk(
     ordering via (sim desc, neighbor_id)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
+    # norms precomputed once per row; sim stays dot/(qn*cn) — the identical
+    # operands and operation order as cosine(), so results (and the DuckDB
+    # oracle bit-identity) cannot move, but the per-pair fold drops from
+    # three array aggregates to one
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -89,12 +93,19 @@ def cosine_neardup_pairs(
     un-normalized dot/(norm*norm) fold as brute_force_topk, which is
     bit-identical to DuckDB's list_cosine_similarity on this data (so
     thresholding cannot disagree across engines)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    # norms once per row, not per pair — same operands/order as cosine(),
+    # so the DuckDB bit-identity holds while 2/3 of the per-pair array
+    # folds disappear (n^2 pairs pay one aggregate each, not three)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
