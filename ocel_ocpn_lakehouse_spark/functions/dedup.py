@@ -154,6 +154,48 @@ def ngram_jaccard_pairs(
     return out
 
 
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "exact_jaccard",
+) -> DataFrame:
+    """Annotate a (id_a, id_b) pair set with its exact n-gram Jaccard.
+
+    The self-check path for the approximate detectors (MinHash/SimHash/LSH
+    candidates): only docs appearing in ``pairs`` are shingled (semi-join
+    on the broadcast id set), and the intersection computes per PAIR via
+    array_intersect over each side's shingle set — never the all-co-shingled-
+    pairs join of :func:`ngram_jaccard_pairs`, whose cost is the thing the
+    approximate detectors exist to avoid. Cost: O(|pairs| · shingles/doc).
+    """
+    # the pair set is usually the output of an expensive detector subtree
+    # (minhash banding, simhash buckets) — cache it so the id extraction
+    # and the final annotate join evaluate it once, and shingle ONLY the
+    # docs that appear in some pair (window cost scales with candidates,
+    # not the corpus)
+    pairs = pairs.cache()
+    ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sub = df.join(F.broadcast(ids), id_col)
+    ex = _exploded_shingles(sub, text_col, id_col, n, None)
+    sets = ex.groupBy("_id").agg(F.collect_set("shingle").alias("_sh"))
+    return (
+        pairs.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        .withColumn(
+            out_col,
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                6,
+            ),
+        )
+        .drop("_sa", "_sb")
+    )
+
+
 # ---- MinHash + LSH -----------------------------------------------------------
 
 

@@ -93,11 +93,11 @@ def q25_minhash_lsh(spark, sf_dir):
     cand = D.minhash_lsh_pairs(docs, num_hashes=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
     )
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=1000).withColumnRenamed(
-        "jaccard", "exact_jaccard"
-    )
-    return cand.join(exact, ["id_a", "id_b"], "left").withColumn(
-        "est_err", F.round(F.abs(F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))), 6)
+    # exact jaccard computed ONLY for the candidate pairs (pair-local
+    # array_intersect) — annotating via the all-co-shingled-pairs join
+    # would pay the quadratic cost the LSH path exists to avoid
+    return D.exact_jaccard_for_pairs(docs, cand).withColumn(
+        "est_err", F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6)
     )
 
 
@@ -111,12 +111,9 @@ def q26_simhash(spark, sf_dir):
     pytest asserts the hamming↔jaccard correlation floor)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(docs, max_hamming=3)
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=1000).withColumnRenamed(
-        "jaccard", "exact_jaccard"
-    )
-    return pairs.join(exact, ["id_a", "id_b"], "left").withColumn(
-        "exact_jaccard", F.coalesce("exact_jaccard", F.lit(0.0))
-    )
+    # pair-local exact jaccard (see q25) — same values as the old
+    # all-pairs join for every emitted pair, at candidate-set cost
+    return D.exact_jaccard_for_pairs(docs, pairs)
 
 
 # --- q27: exact ANN — brute-force cosine top-k -----------------------------------------
