@@ -202,12 +202,13 @@ def lsh_neardup_pairs(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    va = c.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    vb = c.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    cn = c.withColumn("n", _norm(F.col("v")))
+    va = cn.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = cn.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
@@ -295,9 +296,13 @@ def ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", nearest_cell(F.col("cv"), cents))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cell", nearest_cell(F.col("cv"), cents))
+        .withColumn("cn", _norm(F.col("cv")))
+    )
     # probe ordering: |qv| is constant across cells, so dot against the
     # unit centroid ranks cells identically to cosine at half the plan
     csims = F.array(*[
@@ -309,14 +314,17 @@ def ivf_topk(
     ])
     q = (
         queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
         .withColumn("_probe", F.slice(F.reverse(F.array_sort(csims)), 1, nprobe))
         .withColumn("cell", F.explode(F.transform("_probe", lambda s: s["cell"])))
         .drop("_probe")
     )
+    # norms precomputed per row (same operands/order as cosine — see
+    # brute_force_topk), so the per-candidate work is one dot fold
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
