@@ -154,7 +154,11 @@ def banded_signatures(
                 }
             )
 
-    c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    # null vectors can't hash (and would crash the task's vstack) — they
+    # simply produce no signature rows, so they never become candidates
+    c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     return c.mapInPandas(_sig, "vid long, band int, bucket long")
 
 
