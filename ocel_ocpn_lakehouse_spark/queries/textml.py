@@ -385,6 +385,53 @@ def q41_ann_ivf(spark, sf_dir):
     )
 
 
+# --- q42: IVF index as an engine table — probe-time manifest FILE pruning ----------------
+
+
+def q42_ann_ivf_indexed(spark, sf_dir):
+    """IVF persisted as an engine table (cell id = identity partition,
+    centroids in table properties): probing prunes FILES at the manifest
+    level before Spark reads a byte — the executed form of 'at warehouse
+    scale the cell id is a partitioned column'. In-query self-checks:
+    agrees_unindexed marks each row as identical to the in-memory ivf_topk
+    with the same centroids (pruning changes I/O, never results — always
+    true is the assertion), and files_pruned/files_total quantify the
+    manifest pruning. Engine-native table + seeded k-means -> rows-only."""
+    import json
+    import shutil
+    import tempfile
+
+    from ..core import Catalog
+    from ..core.table import PrunePredicate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    wh = tempfile.mkdtemp(prefix="q42_ivf_")
+    try:
+        t = S.ivf_index_table(spark, Catalog(wh), "ann.emb", emb, n_cells=16, iters=3)
+        cents = json.loads(t.md.properties["ivf.centroids"])
+        idx = S.ivf_topk_indexed(spark, t, queries, k=5, nprobe=4)
+        mem = S.ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents).select(
+            "query_id", "neighbor_id", "rank", F.lit(True).alias("agrees_unindexed")
+        )
+        q = S._probe_cells(queries, cents, 4, "vec_id", "embedding")
+        cells = {int(r["cell"]) for r in q.select("cell").distinct().collect()}
+        entries = t.live_entries()
+        kept = [
+            e for e in entries if t._entry_matches(e, [PrunePredicate("_p_cell", "in", cells)])
+        ]
+        out = (
+            idx.join(mem, ["query_id", "neighbor_id", "rank"], "left")
+            .withColumn("agrees_unindexed", F.coalesce("agrees_unindexed", F.lit(False)))
+            .withColumn("files_total", F.lit(len(entries)))
+            .withColumn("files_pruned", F.lit(len(entries) - len(kept)))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 QUERIES = {
     "q23_dedup_exact": q23_dedup_exact,
     "q24_ngram_jaccard": q24_ngram_jaccard,
@@ -400,6 +447,7 @@ QUERIES = {
     "q39_embedding_neardup": q39_embedding_neardup,
     "q40_embedding_neardup_lsh": q40_embedding_neardup_lsh,
     "q41_ann_ivf": q41_ann_ivf,
+    "q42_ann_ivf_indexed": q42_ann_ivf_indexed,
 }
 
 ORACLES = {

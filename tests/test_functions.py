@@ -342,3 +342,43 @@ def test_hash_key_parity_null_and_bool(spark):
         [[r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]]
     )
     assert got == [int(v) for v in want]
+
+
+def test_ivf_index_table_prunes_and_matches(spark, tmp_path):
+    """IVF as an ENGINE TABLE: cell id persisted as an identity partition,
+    centroids in table properties. Probing must (a) prune files at the
+    manifest level — only probed cells' partitions reach Spark — and
+    (b) return exactly what the in-memory ivf_topk returns with the same
+    centroids (pruning changes I/O, never results)."""
+    import json
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = S.ivf_index_table(spark, cat, "ann.emb", emb, n_cells=8, iters=2)
+
+    cents = json.loads(t.md.properties["ivf.centroids"])
+    expected = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk_indexed(spark, t, queries, k=5, nprobe=2).collect()
+    }
+    assert got == expected and got
+
+    # structural pruning evidence: the probed-cell scan matches fewer files
+    # than the table holds (8 cells, <=2 probed per query x 3 queries)
+    from ocel_ocpn_lakehouse_spark.core.table import PrunePredicate
+
+    q = S._probe_cells(queries, cents, 2, "vec_id", "embedding")
+    cells = {int(r["cell"]) for r in q.select("cell").distinct().collect()}
+    entries = t.live_entries()
+    kept = [e for e in entries if t._entry_matches(e, [PrunePredicate("_p_cell", "in", cells)])]
+    assert len(kept) < len(entries), "probe must prune at least one cell's files"
+    assert {e.partition["_p_cell"] for e in kept} == cells
