@@ -265,11 +265,12 @@ def merge_into(
         import os
 
         # planning: 'driver' materializes the manifest (fine to ~10^4 files);
-        # 'distributed' keeps entries in entries_df — the driver collects only
-        # the bucket-pruned PATH STRINGS for the probe and, later, the full
-        # entry rows for the touched files (bounded by the source key count,
-        # metadata-sized), never the whole manifest (same routing as
-        # plan_compaction_distributed / execute_cluster's distributed planner)
+        # 'distributed' keeps entries in entries_df — probe specs flow to the
+        # Arrow probe as a DataFrame (nothing per-file on the driver in the
+        # common path), and only the touched files' entry rows (bounded by
+        # the source key count, metadata-sized) are ever collected; the
+        # huge-source fallback alone collects the pruned path list (same
+        # routing as plan_compaction_distributed / execute_cluster)
         if planning == "auto":
             planning = (
                 "distributed" if table.entries_df(spark).count() > 10_000 else "driver"
