@@ -25,6 +25,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Iterable, Iterator
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -38,6 +39,11 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("upper_bounds", pa.string()),  # JSON {col: max}
         pa.field("null_counts", pa.string()),  # JSON {col: n}
         pa.field("added_snapshot_id", pa.int64()),
+        # JSON {col: {"m": bits, "k": hashes, "b64": bitset}} — per-file Bloom
+        # filters for the columns in table property 'write.bloom-columns'
+        # (Iceberg puffin / Delta bloom-index equivalent). "{}" when absent;
+        # readers MUST treat absence as might-contain (no false negatives).
+        pa.field("blooms", pa.string()),
     ]
 )
 
@@ -52,6 +58,7 @@ class ManifestEntry:
     upper_bounds: dict = field(default_factory=dict)
     null_counts: dict = field(default_factory=dict)
     added_snapshot_id: int = 0
+    blooms: dict = field(default_factory=dict)
 
     def to_row(self) -> dict:
         return {
@@ -63,6 +70,7 @@ class ManifestEntry:
             "upper_bounds": json.dumps(self.upper_bounds, sort_keys=True, default=str),
             "null_counts": json.dumps(self.null_counts, sort_keys=True),
             "added_snapshot_id": int(self.added_snapshot_id),
+            "blooms": json.dumps(self.blooms, sort_keys=True),
         }
 
     @staticmethod
@@ -76,6 +84,7 @@ class ManifestEntry:
             upper_bounds=json.loads(r["upper_bounds"]),
             null_counts=json.loads(r["null_counts"]),
             added_snapshot_id=r["added_snapshot_id"],
+            blooms=json.loads(r.get("blooms") or "{}"),
         )
 
 
@@ -160,6 +169,99 @@ def _jsonable(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
+
+
+# ---- per-file Bloom filters (manifest-level membership pruning) ---------------
+#
+# Bounds prune only when files are clustered on the probed column; a bloom
+# prunes on ANY layout (the 100k-file merge stress showed bounds eliminating
+# nothing on a fragment-distributed key). Built inside the Arrow rewrite
+# tasks where the file's data is already in memory; JVM-written files simply
+# carry no bloom until their first rewrite (absence = might-contain).
+
+BLOOM_MAX_BITS = 1 << 20  # 128 KiB of bits per column per file, hard cap
+
+
+def _bloom_hash_pair(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes for double hashing (h1 + i*h2 % m).
+    Deterministic across processes (blake2b, not PYTHONHASHSEED)."""
+    import hashlib
+
+    if isinstance(value, bool):
+        b = b"\x01" if value else b"\x00"
+    elif isinstance(value, int):
+        b = value.to_bytes(16, "little", signed=True)
+    elif isinstance(value, str):
+        b = value.encode()
+    elif isinstance(value, bytes):
+        b = value
+    else:
+        b = str(value).encode()
+    d = hashlib.blake2b(b, digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def build_bloom(values, fpp: float = 0.001) -> dict | None:
+    """Bloom filter over the distinct non-null values → manifest-storable
+    {"m", "k", "b64"}; None for an all-null column (absence = no pruning).
+
+    fpp is PER probe key; a probe checking ANY of q keys sees
+    1-(1-fpp)^q, so the default is sized for multi-key merge probes
+    (q=40 → ~4% at 0.001 vs ~33% at 0.01) — ~14.4 bits per distinct
+    value, ≈1.3 KiB/file/column at 750 values. The BLOOM_MAX_BITS cap
+    binds above ~70k distinct values and degrades fpp gracefully."""
+    import base64
+    import math
+
+    vals = {v for v in values if v is not None}
+    if not vals:
+        return None
+    n = len(vals)
+    m = min(BLOOM_MAX_BITS, max(64, int(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    bits = np.zeros(m, dtype=bool)
+    mask = (1 << 64) - 1  # wrap exactly like the probe's uint64 arithmetic
+    for v in vals:
+        h1, h2 = _bloom_hash_pair(v)
+        for i in range(k):
+            bits[((h1 + i * h2) & mask) % m] = True
+    return {"m": int(m), "k": int(k), "b64": base64.b64encode(np.packbits(bits).tobytes()).decode()}
+
+
+def bloom_key_hashes(keys) -> "np.ndarray":
+    """Precompute the (n, 2) uint64 hash-pair matrix for a probe key set —
+    done once per task, reused against every file's bloom."""
+    return np.array(
+        [_bloom_hash_pair(kv) for kv in keys if kv is not None], dtype=np.uint64
+    ).reshape(-1, 2)
+
+
+def bloom_any_contains(bloom: dict | None, key_hashes: "np.ndarray") -> bool:
+    """True iff SOME probe key might be in the file (vectorized: one fancy-
+    index gather per file). Conservative: missing/empty bloom → True."""
+    if not bloom or key_hashes.size == 0:
+        return True
+    import base64
+
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8))
+    m = np.uint64(bloom["m"])
+    k = int(bloom["k"])
+    h1 = key_hashes[:, 0:1]
+    h2 = key_hashes[:, 1:2]
+    idx = (h1 + np.arange(k, dtype=np.uint64)[None, :] * h2) % m
+    return bool(bits[idx.astype(np.int64)].all(axis=1).any())
+
+
+def build_blooms(tbl, bloom_cols, fpp: float = 0.001) -> dict:
+    """Blooms for the given columns of an in-memory Arrow table → the
+    ManifestEntry.blooms dict (columns absent from the table are skipped)."""
+    out = {}
+    for c in bloom_cols or []:
+        if c in tbl.column_names:
+            b = build_bloom(tbl[c].to_pylist(), fpp)
+            if b is not None:
+                out[c] = b
+    return out
 
 
 def footer_stats(local_path: str, stats_columns: set[str] | None) -> dict:

@@ -116,6 +116,15 @@ class Table:
         """Columns we track min/max for: all non-binary top-level columns."""
         return {f.name for f in self.schema.fields if not isinstance(f.dataType, T.BinaryType)}
 
+    @property
+    def bloom_columns(self) -> list[str]:
+        """Columns getting per-file Bloom filters in the manifest (table
+        property 'write.bloom-columns', comma-separated; default none).
+        Blooms are built by the Arrow rewrite tasks — JVM-written files
+        carry none until their first compaction/clustering/merge rewrite."""
+        prop = self.md.properties.get("write.bloom-columns", "")
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
     # ---- snapshot / manifest access ----------------------------------------
     def snapshots(self) -> list[meta.Snapshot]:
         return list(self.md.snapshots)

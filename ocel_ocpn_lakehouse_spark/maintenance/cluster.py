@@ -341,6 +341,7 @@ def execute_cluster(
     # --- 3. REDUCE: concat + sort + one file per combo --------------------
     t_reduce = time.time()
     stats_cols = (table.stats_columns() or set()) | {ZKEY_COL}
+    bloom_cols = table.bloom_columns
     live_combos = sorted({r["cidx"] for r in map_acks})
     combo_df = spark.createDataFrame(
         spark.sparkContext.parallelize([(c,) for c in live_combos], max(len(live_combos), 1)),
@@ -377,18 +378,19 @@ def execute_cluster(
                         "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                         "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                         "null_counts": json.dumps(st["null_counts"]),
+                        "blooms": json.dumps(mf.build_blooms(tbl, bloom_cols)),
                     }
                 )
             yield pd.DataFrame(
                 out,
                 columns=["cidx", "size_bytes", "record_count", "lower_bounds",
-                         "upper_bounds", "null_counts"],
+                         "upper_bounds", "null_counts", "blooms"],
             )
 
     stat_rows = combo_df.mapInPandas(
         _reduce_write,
         "cidx int, size_bytes long, record_count long, "
-        "lower_bounds string, upper_bounds string, null_counts string",
+        "lower_bounds string, upper_bounds string, null_counts string, blooms string",
     ).collect()
     phases["reduce"] = time.time() - t_reduce
 
@@ -416,6 +418,7 @@ def execute_cluster(
                 lower_bounds=json.loads(r["lower_bounds"]),
                 upper_bounds=json.loads(r["upper_bounds"]),
                 null_counts=json.loads(r["null_counts"]),
+                blooms=json.loads(r["blooms"]),
             )
         )
     _shutil.rmtree(staging, ignore_errors=True)

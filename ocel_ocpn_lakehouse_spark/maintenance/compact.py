@@ -305,6 +305,7 @@ def execute_compaction(
         # JVM reader setup per tiny file inside single-threaded tasks.
         t_write = time.time()
         stats_cols = table.stats_columns()
+        bloom_cols = table.bloom_columns
         codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
         codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
         arrow_schema = mf.spark_to_arrow_schema(table.schema)
@@ -364,6 +365,7 @@ def execute_compaction(
                             "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                             "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                             "null_counts": json.dumps(st["null_counts"]),
+                            "blooms": json.dumps(mf.build_blooms(tbl, bloom_cols)),
                             "t_read": ts_ - tr,
                             "t_sort": tw - ts_,
                             "t_write": tst - tw,
@@ -378,6 +380,7 @@ def execute_compaction(
                 _rewrite,
                 "group_id string, size_bytes long, record_count long, "
                 "lower_bounds string, upper_bounds string, null_counts string, "
+                "blooms string, "
                 "t_read double, t_sort double, t_write double, t_stats double",
             ).collect()
         }
@@ -419,6 +422,7 @@ def execute_compaction(
                         lower_bounds=json.loads(st["lower_bounds"]),
                         upper_bounds=json.loads(st["upper_bounds"]),
                         null_counts=json.loads(st["null_counts"]),
+                        blooms=json.loads(st["blooms"]),
                     )
                 )
             written_entries[g.group_id] = entries

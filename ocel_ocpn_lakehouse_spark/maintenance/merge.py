@@ -64,6 +64,7 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
     staging = table._stage_dir()
     arrow_schema = mf.spark_to_arrow_schema(table.schema)
     stats_cols = table.stats_columns()
+    bloom_cols = table.bloom_columns
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
     specs = [
@@ -103,12 +104,13 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
                         "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                         "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                         "null_counts": json.dumps(st["null_counts"]),
+                        "blooms": json.dumps(mf.build_blooms(surv, bloom_cols)),
                     }
                 )
             yield pd.DataFrame(
                 out,
                 columns=["fidx", "size_bytes", "record_count", "lower_bounds",
-                         "upper_bounds", "null_counts"],
+                         "upper_bounds", "null_counts", "blooms"],
             )
 
     spec_df = spark.createDataFrame(
@@ -117,7 +119,7 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
     rows = spec_df.mapInPandas(
         _task,
         "fidx int, size_bytes long, record_count long, "
-        "lower_bounds string, upper_bounds string, null_counts string",
+        "lower_bounds string, upper_bounds string, null_counts string, blooms string",
     ).collect()
 
     os.makedirs(table.data_dir, exist_ok=True)
@@ -139,6 +141,7 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
                 lower_bounds=json.loads(r["lower_bounds"]),
                 upper_bounds=json.loads(r["upper_bounds"]),
                 null_counts=json.loads(r["null_counts"]),
+                blooms=json.loads(r["blooms"]),
             )
         )
         n_rows += r["record_count"]
@@ -168,29 +171,36 @@ def _any_key_in_bounds(sorted_keys: list, lo, hi) -> bool:
         return True
 
 
-def _probe_touched_arrow(spark, table, specs, key_list, key) -> set:
+def _probe_touched_arrow(spark, table, specs, key_list, key) -> tuple[set, dict]:
     """Touched-file probe as an Arrow key-column job.
 
-    ``specs`` is a DataFrame of (path, lo, hi) metadata rows — relative
-    path plus lower/upper bounds JSON; in distributed planning it flows
-    straight from ``entries_df``, so the driver never holds a per-file
-    object on the probe path. Returns the set of RELATIVE paths of
-    files holding ≥1 source key. Each one-core task first prunes on the
-    file's manifest key bounds (bisect over the sorted broadcast keys — no
-    I/O at all for files whose key range excludes every source key, the
-    step that makes point-ish merges metadata-bounded on clustered
-    tables), then reads only the key column of surviving files (pyarrow,
-    through ``read_table_nullfill`` so post-evolution key columns
-    null-fill) and set-probes it against the broadcast source keys.
+    ``specs`` is a DataFrame of (path, lo, hi, bloom) metadata rows —
+    relative path plus lower/upper-bounds and bloom JSON; in distributed
+    planning it flows straight from ``entries_df``, so the driver never
+    holds a per-file object on the probe path. Returns the set of RELATIVE
+    paths of files holding ≥1 source key. Each one-core task prunes in
+    cost order before any I/O: (1) manifest key bounds (bisect over the
+    sorted broadcast keys — prunes when files are clustered on the key),
+    (2) the file's manifest Bloom filter (vectorized gather against the
+    pre-hashed key matrix — prunes on ANY layout, the case bounds cannot
+    help; absence = might-contain), then (3) reads only the key column of
+    surviving files (pyarrow, through ``read_table_nullfill`` so
+    post-evolution key columns null-fill) and set-probes it against the
+    broadcast source keys.
     """
     import os
 
     from ..core import manifests as mf
 
     nonnull = sorted(k for k in key_list if k is not None)
-    keys_b = spark.sparkContext.broadcast((set(nonnull), nonnull))
+    keys_b = spark.sparkContext.broadcast(
+        (set(nonnull), nonnull, mf.bloom_key_hashes(nonnull))
+    )
     root = table.root
     arrow_schema = mf.spark_to_arrow_schema(table.schema)
+    acc_read = spark.sparkContext.accumulator(0)
+    acc_bounds = spark.sparkContext.accumulator(0)
+    acc_bloom = spark.sparkContext.accumulator(0)
 
     def _task(batches):
         import json as _json
@@ -199,14 +209,20 @@ def _probe_touched_arrow(spark, table, specs, key_list, key) -> set:
         import pyarrow as pa
 
         pa.set_cpu_count(1)  # one Arrow thread per one-core task
-        kset, ksorted = keys_b.value
+        kset, ksorted, khashes = keys_b.value
         for pdf in batches:
             hits = []
-            for rp, lo_j, hi_j in zip(pdf["path"], pdf["lo"], pdf["hi"]):
+            for rp, lo_j, hi_j, bl_j in zip(pdf["path"], pdf["lo"], pdf["hi"], pdf["bloom"]):
                 lo = (_json.loads(lo_j) or {}).get(key) if lo_j else None
                 hi = (_json.loads(hi_j) or {}).get(key) if hi_j else None
                 if not _any_key_in_bounds(ksorted, lo, hi):
+                    acc_bounds.add(1)
                     continue
+                bloom = (_json.loads(bl_j) or {}).get(key) if bl_j else None
+                if not mf.bloom_any_contains(bloom, khashes):
+                    acc_bloom.add(1)
+                    continue
+                acc_read.add(1)
                 vals = mf.read_table_nullfill(
                     os.path.join(root, rp), arrow_schema, columns=[key]
                 )[key].to_pylist()
@@ -216,7 +232,13 @@ def _probe_touched_arrow(spark, table, specs, key_list, key) -> set:
 
     n_parts = spark.sparkContext.defaultParallelism * 4
     out = specs.repartition(n_parts).mapInPandas(_task, "path string")
-    return {r["path"] for r in out.collect()}
+    touched = {r["path"] for r in out.collect()}
+    stats = {
+        "files_read": acc_read.value,
+        "skipped_by_bounds": acc_bounds.value,
+        "skipped_by_bloom": acc_bloom.value,
+    }
+    return touched, stats
 
 
 def merge_into(
@@ -293,10 +315,11 @@ def merge_into(
                         e.path,
                         _json.dumps(e.lower_bounds, default=str),
                         _json.dumps(e.upper_bounds, default=str),
+                        _json.dumps(e.blooms),
                     )
                     for e in probe_entries
                 ],
-                "path string, lo string, hi string",
+                "path string, lo string, hi string, bloom string",
             )
 
             def _fallback_paths() -> list:
@@ -320,6 +343,7 @@ def merge_into(
                 "path",
                 F.col("lower_bounds").alias("lo"),
                 F.col("upper_bounds").alias("hi"),
+                F.coalesce(F.col("blooms"), F.lit("{}")).alias("bloom"),
             )
 
             def _fallback_paths() -> list:
@@ -335,6 +359,7 @@ def merge_into(
                 got = {r["path"]: mf.ManifestEntry.from_row(r.asDict()) for r in rows}
                 return [got[p] for p in sorted(rels)]
 
+        probe_stats: dict = {}
         if key_list is not None:
             # Arrow key-column probe with manifest-bounds pre-pruning: tasks
             # skip files whose key range excludes every source key, then read
@@ -343,7 +368,9 @@ def merge_into(
             # paid per-file reader setup (~50 ms/file — minutes at 10^5 tiny
             # files); the Arrow footer read + one-column decode is the same
             # cost model as every other maintenance task here.
-            touched_rel = _probe_touched_arrow(spark, table, spec_df, key_list, key)
+            touched_rel, probe_stats = _probe_touched_arrow(
+                spark, table, spec_df, key_list, key
+            )
         else:
             # huge source: keys don't fit a broadcast set — JVM scan +
             # distributed semi-join probe (the key column still prunes at
@@ -442,6 +469,7 @@ def merge_into(
             "snapshot_id": snap.snapshot_id,
             "source_rows": n_src,
             "touched_files": len(touched_entries),
+            "probe": probe_stats,
             "files_added": len(new_entries),
             "rows_rewritten": n_new_rows,
             "duration_ms": dur_ms,

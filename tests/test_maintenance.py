@@ -664,3 +664,103 @@ def test_cli_rewrite_op(spark, warehouse, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rewrite"]["status"] == "committed"
     assert rep["rewrite"]["files_after"] < rep["rewrite"]["files_before"]
+
+
+def test_bloom_filter_unit():
+    """Manifest bloom: no false negatives ever; fpp near the 1% design
+    point; build-side Python arithmetic wraps exactly like the probe's
+    numpy uint64 (a mismatch would create silent false negatives)."""
+    import random
+
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+
+    random.seed(7)
+    ints = [random.randrange(10**14) for _ in range(4000)]
+    strs = [f"img_{i:08d}" for i in range(3000)]
+    for vals in (ints, strs):
+        b = mf.build_bloom(vals)
+        for v in vals[::7]:  # every member must hit
+            assert mf.bloom_any_contains(b, mf.bloom_key_hashes([v]))
+        absent = (
+            [v + 10**15 for v in ints[:1500]] if vals is ints
+            else [f"zzz_{i}" for i in range(1500)]
+        )
+        fp = sum(mf.bloom_any_contains(b, mf.bloom_key_hashes([v])) for v in absent)
+        assert fp / len(absent) < 0.05
+    # conservative fallbacks
+    assert mf.build_bloom([None, None]) is None
+    assert mf.bloom_any_contains(None, mf.bloom_key_hashes([1]))
+    assert mf.bloom_any_contains({"m": 64, "k": 2, "b64": "AAAAAAAA"}, mf.bloom_key_hashes([]))
+
+
+def test_merge_bloom_pruning_end_to_end(spark, warehouse):
+    """With write.bloom-columns on, compaction stamps per-file blooms into
+    the manifest; a merge of keys absent from most files must (a) return
+    the exact oracle result and (b) have bloom evidence that would skip
+    the untouched files even though bounds cannot (bucket-hashed layout =
+    every file's key range spans the keyspace)."""
+    import json
+
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+    from ocel_ocpn_lakehouse_spark.maintenance.merge import _any_key_in_bounds
+
+    cat = Catalog(warehouse)
+    props = dict(TEST_PROPS)
+    props["write.bloom-columns"] = "image_id"
+    t = cat.create_table(
+        "ocel.images_bloom",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", BUCKETS),
+            sort_order=SortOrder.by("phash"),
+            properties=props,
+        ),
+    )
+    t.append(synth_images_df(spark, n_rows=300, seed=42), num_files=12, distribution="fragment")
+    st = SystemTables(cat.warehouse)
+    execute_compaction(spark, t, st, "ocel.images_bloom")
+    t.refresh()
+    entries = t.live_entries()
+    with_bloom = [e for e in entries if "image_id" in e.blooms]
+    assert with_bloom, "compaction must stamp image_id blooms"
+
+    # pick 2 victim keys from ONE file; bounds can't prune (hash layout)
+    victim_file = with_bloom[0]
+    p = os.path.join(t.root, victim_file.path)
+    import pyarrow.parquet as pq
+
+    victims = pq.read_table(p, columns=["image_id"]).column("image_id").to_pylist()[:2]
+    kh = mf.bloom_key_hashes(victims)
+    ks = sorted(victims)
+    skipped_by_bloom = 0
+    for e in with_bloom:
+        in_bounds = _any_key_in_bounds(
+            ks, e.lower_bounds.get("image_id"), e.upper_bounds.get("image_id")
+        )
+        might = mf.bloom_any_contains(e.blooms.get("image_id"), kh)
+        if in_bounds and not might:
+            skipped_by_bloom += 1
+        if e.path == victim_file.path:
+            assert might, "bloom must never exclude a file that holds the key"
+    assert skipped_by_bloom > 0, "bloom must prune files bounds cannot"
+
+    # end-to-end: delete the victims; only their file is touched; oracle holds
+    src = (
+        t.scan(spark)
+        .filter(F.col("image_id").isin(victims))
+        .withColumn("_op", F.lit("delete"))
+    )
+    res = merge_into(spark, t, src, key="image_id")
+    assert res["status"] == "committed"
+    # probe observability: blooms skipped files bounds could not, and the
+    # probe read strictly fewer files than it was given
+    assert res["probe"]["skipped_by_bloom"] > 0
+    assert res["probe"]["files_read"] < len(entries)
+    t.refresh()
+    assert t.scan(spark).filter(F.col("image_id").isin(victims)).count() == 0
+    assert t.scan(spark).count() == 300 - 2
+    # survivor file written by the merge carries a refreshed bloom
+    assert any(
+        "image_id" in e.blooms for e in t.live_entries()
+        if e.path not in {x.path for x in entries}
+    )

@@ -19,6 +19,12 @@ the commit, not the filesystem.
 manifest — above the 10^4-file routing threshold, so planning runs
 distributed: the driver collects only bucket-pruned path strings and the
 touched files' entry rows, never the full manifest.
+
+`merge-bloom` compacts first (the Arrow rewrite stamps per-file Bloom
+filters for the merge key into the manifest) and then merges a SMALL key
+sample (0.01%) — the maintained-table case where the probe must otherwise
+read every file's key column because a hash layout defeats bounds
+pruning; reports how many files the probe skipped without any I/O.
 """
 
 from __future__ import annotations
@@ -60,6 +66,7 @@ def main() -> int:
                 properties={
                     "write.target-file-size-bytes": str(256 * 1024),
                     "compact.small-file-bytes": str(64 * 1024),
+                    "write.bloom-columns": "id",
                 },
             ),
         )
@@ -75,6 +82,35 @@ def main() -> int:
         if op == "cluster":
             res = execute_cluster(spark, t, SystemTables(cat.warehouse), "stress.rows")
             res.setdefault("groups", res.get("files_after", 0))
+        elif op == "merge-bloom":
+            from pyspark.sql import functions as F
+
+            from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+
+            # maintain first: the Arrow compaction rewrite stamps id blooms
+            t1b = time.time()
+            execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
+            t.refresh()
+            compact_bloom_s = time.time() - t1b
+            files_maintained = len(t.live_entries())
+            # tiny key sample: the point-ish merge a CDC upsert stream makes
+            n = rows_before
+            src = (
+                spark.range(0, n, 10000)
+                .selectExpr("id", "repeat(cast(id as string), 40) payload")
+                .withColumn("_op", F.lit("delete"))
+            )
+            res = merge_into(spark, t, src, key="id")
+            res.setdefault("groups", res.get("touched_files", 0))
+            res.setdefault(
+                "phases",
+                {
+                    "compact_first_s": round(compact_bloom_s, 1),
+                    "files_after_compact": files_maintained,
+                    "probe": res.get("probe", {}),
+                    "merge_s": res.get("duration_ms", 0) / 1000,
+                },
+            )
         elif op == "merge":
             from pyspark.sql import functions as F
 
@@ -108,6 +144,8 @@ def main() -> int:
             # deletes remove their rows; upserts replace 1:1 (all keys exist)
             n_del = len([i for i in range(0, rows_before, 100) if (i // 100) % 2 == 0])
             rows_expected = rows_before - n_del
+        elif op == "merge-bloom":
+            rows_expected = rows_before - len(range(0, rows_before, 10000))
         else:
             rows_expected = rows_before
         out = {
@@ -126,7 +164,7 @@ def main() -> int:
         }
         print(json.dumps(out))
         assert out["rows_match"]
-        assert op == "merge" or out["files_after"] < files
+        assert op.startswith("merge") or out["files_after"] < files
         return 0
     finally:
         spark.stop()
