@@ -200,6 +200,13 @@ class Table:
             hi = e.upper_bounds.get(p.column)
             if not _bounds_overlap(p, lo, hi):
                 return False
+            # membership predicates also consult the file's Bloom filter
+            # (prunes point lookups on ANY layout; absence = might-contain)
+            bloom = e.blooms.get(p.column)
+            if bloom and p.op in ("=", "in"):
+                vals = p.value if p.op == "in" else [p.value]
+                if not mf.bloom_any_contains(bloom, mf.bloom_key_hashes(vals)):
+                    return False
         return True
 
     def bucket_value(self, spark: SparkSession, source_value) -> int | None:

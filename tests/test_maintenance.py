@@ -764,3 +764,25 @@ def test_merge_bloom_pruning_end_to_end(spark, warehouse):
         "image_id" in e.blooms for e in t.live_entries()
         if e.path not in {x.path for x in entries}
     )
+    # scan-layer point lookup prunes via bloom too: an absent key matches
+    # no bloom-stamped file, a present key's file always survives
+    live = [e for e in t.live_entries() if "image_id" in e.blooms]
+    some_key = None
+    for e in live:
+        vals = pq.read_table(os.path.join(t.root, e.path), columns=["image_id"])
+        some_key = vals.column("image_id").to_pylist()[0]
+        holder = e
+        break
+    kept_present = [
+        e for e in live if t._entry_matches(e, [PrunePredicate("image_id", "=", some_key)])
+    ]
+    kept_absent = [
+        e
+        for e in live
+        if t._entry_matches(e, [PrunePredicate("image_id", "=", "no_such_image_id")])
+    ]
+    assert holder in kept_present
+    assert len(kept_absent) < len(live), "absent key must bloom-prune files"
+    assert t.scan(spark, prune=[PrunePredicate("image_id", "=", some_key)]).filter(
+        F.col("image_id") == some_key
+    ).count() == 1
