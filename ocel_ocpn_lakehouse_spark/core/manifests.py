@@ -297,12 +297,35 @@ def footer_stats(local_path: str, stats_columns: set[str] | None) -> dict:
     }
 
 
-def collect_stats(spark, abs_paths: list[str], stats_columns: set[str] | None) -> dict[str, dict]:
+def _file_blooms(path: str, bloom_cols) -> dict:
+    """Blooms for a file already on disk: one pruned column read per bloom
+    column (cheap next to the write the file just paid)."""
+    if not bloom_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    out = {}
+    for c in bloom_cols:
+        if c in present:
+            b = build_bloom(pf.read(columns=[c])[c].to_pylist())
+            if b is not None:
+                out[c] = b
+    return out
+
+
+def collect_stats(
+    spark,
+    abs_paths: list[str],
+    stats_columns: set[str] | None,
+    bloom_columns: list[str] | None = None,
+) -> dict[str, dict]:
     """Distributed footer-stat collection: path list → {abs_path: stats}.
 
     Uses mapInPandas over a paths DataFrame so footer reads run on
     executors (at 10^12-row scale a compaction pass touches 10^4-10^5
-    files; the driver only sees the aggregated JSON rows).
+    files; the driver only sees the aggregated JSON rows). When
+    ``bloom_columns`` is set, each file also pays one pruned column read
+    per bloom column so JVM-written files carry blooms from birth.
     """
     import pandas as pd
 
@@ -310,9 +333,13 @@ def collect_stats(spark, abs_paths: list[str], stats_columns: set[str] | None) -
         return {}
     if len(abs_paths) <= 16:
         # tiny batches: driver-side is cheaper than a Spark job
-        return {p: footer_stats(p, stats_columns) for p in abs_paths}
+        out = {p: footer_stats(p, stats_columns) for p in abs_paths}
+        for p in abs_paths:
+            out[p]["blooms"] = _file_blooms(p, bloom_columns)
+        return out
 
     stats_cols = sorted(stats_columns) if stats_columns is not None else None
+    bl_cols = list(bloom_columns or [])
 
     def scan_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = set(stats_cols) if stats_cols is not None else None
@@ -327,6 +354,7 @@ def collect_stats(spark, abs_paths: list[str], stats_columns: set[str] | None) -
                         "lower_bounds": json.dumps(s["lower_bounds"], default=str),
                         "upper_bounds": json.dumps(s["upper_bounds"], default=str),
                         "null_counts": json.dumps(s["null_counts"]),
+                        "blooms": json.dumps(_file_blooms(p, bl_cols)),
                     }
                 )
             yield pd.DataFrame(out)
@@ -336,7 +364,8 @@ def collect_stats(spark, abs_paths: list[str], stats_columns: set[str] | None) -
     )
     rows = paths_df.mapInPandas(
         scan_footers,
-        "path string, record_count long, lower_bounds string, upper_bounds string, null_counts string",
+        "path string, record_count long, lower_bounds string, upper_bounds string, "
+        "null_counts string, blooms string",
     ).collect()
     return {
         r["path"]: {
@@ -344,6 +373,7 @@ def collect_stats(spark, abs_paths: list[str], stats_columns: set[str] | None) -
             "lower_bounds": json.loads(r["lower_bounds"]),
             "upper_bounds": json.loads(r["upper_bounds"]),
             "null_counts": json.loads(r["null_counts"]),
+            "blooms": json.loads(r["blooms"]),
         }
         for r in rows
     }

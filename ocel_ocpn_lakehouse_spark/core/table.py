@@ -120,8 +120,9 @@ class Table:
     def bloom_columns(self) -> list[str]:
         """Columns getting per-file Bloom filters in the manifest (table
         property 'write.bloom-columns', comma-separated; default none).
-        Blooms are built by the Arrow rewrite tasks — JVM-written files
-        carry none until their first compaction/clustering/merge rewrite."""
+        Stamped at append time (collect_stats pays one pruned column read
+        per new file) and refreshed by every Arrow rewrite task; a file
+        without a bloom is always treated as might-contain."""
         prop = self.md.properties.get("write.bloom-columns", "")
         return [c.strip() for c in prop.split(",") if c.strip()]
 
@@ -311,7 +312,10 @@ class Table:
 
         abs_paths = [os.path.join(self.root, rp) for rp, _ in published]
         stats = mf.collect_stats(
-            spark, abs_paths, stats_columns if stats_columns is not None else self.stats_columns()
+            spark,
+            abs_paths,
+            stats_columns if stats_columns is not None else self.stats_columns(),
+            bloom_columns=self.bloom_columns,
         )
         entries = []
         for (relpath, partition), ap in zip(published, abs_paths):
@@ -325,6 +329,7 @@ class Table:
                     lower_bounds=st["lower_bounds"],
                     upper_bounds=st["upper_bounds"],
                     null_counts=st["null_counts"],
+                    blooms=st.get("blooms", {}),
                 )
             )
         return entries

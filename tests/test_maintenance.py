@@ -786,3 +786,40 @@ def test_merge_bloom_pruning_end_to_end(spark, warehouse):
     assert t.scan(spark, prune=[PrunePredicate("image_id", "=", some_key)]).filter(
         F.col("image_id") == some_key
     ).count() == 1
+
+
+def test_blooms_stamped_at_append(spark, warehouse):
+    """With write.bloom-columns set, plain appends already carry blooms —
+    no rewrite needed (collect_stats reads the key column per new file)."""
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+
+    cat = Catalog(warehouse)
+    props = dict(TEST_PROPS)
+    props["write.bloom-columns"] = "image_id"
+    t = cat.create_table(
+        "ocel.images_ab",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", BUCKETS),
+            sort_order=SortOrder.by("phash"),
+            properties=props,
+        ),
+    )
+    # >16 files exercises the distributed collect_stats branch
+    t.append(synth_images_df(spark, n_rows=200, seed=42), num_files=20, distribution="fragment")
+    entries = t.live_entries()
+    assert entries and all("image_id" in e.blooms for e in entries)
+    # a present key hits its file's bloom; a junk key prunes
+    import pyarrow.parquet as pq
+
+    e0 = entries[0]
+    vid = (
+        pq.read_table(os.path.join(t.root, e0.path), columns=["image_id"])
+        .column("image_id").to_pylist()[0]
+    )
+    assert mf.bloom_any_contains(e0.blooms["image_id"], mf.bloom_key_hashes([vid]))
+    kept = [
+        e for e in entries
+        if t._entry_matches(e, [PrunePredicate("image_id", "=", "junk_key")])
+    ]
+    assert len(kept) < len(entries)
