@@ -83,6 +83,10 @@ class TableMetadata:
     snapshots: list[Snapshot] = field(default_factory=list)
     last_sequence_number: int = 0
     version: int = 0  # metadata file version (set on load/commit)
+    # named refs (Iceberg table-refs analog): tag name → snapshot id.
+    # Tags pin snapshots against expiry and give scans stable names
+    # ("prod-cut") independent of snapshot ids.
+    refs: dict[str, int] = field(default_factory=dict)
 
     # ---- snapshot helpers -------------------------------------------------
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
@@ -134,6 +138,7 @@ class TableMetadata:
                 "current_snapshot_id": self.current_snapshot_id,
                 "snapshots": [s.to_dict() for s in self.snapshots],
                 "last_sequence_number": self.last_sequence_number,
+                "refs": self.refs,
             },
             indent=1,
         )
@@ -153,6 +158,7 @@ class TableMetadata:
             snapshots=[Snapshot.from_dict(s) for s in d.get("snapshots", [])],
             last_sequence_number=d.get("last_sequence_number", 0),
             version=version,
+            refs={k: int(v) for k, v in d.get("refs", {}).items()},
         )
         return md
 

@@ -29,6 +29,18 @@ from .spec import PartitionSpec, SortOrder, TableSpec
 DATA_DIR = "data"
 STAGING_DIR = "_staging"
 
+# snapshot operations whose commits do not change the table's logical row
+# set (maintenance rewrites: compaction, clustering, spec evolution,
+# manifest rewrite). Incremental consumers skip them — the same contract
+# Iceberg's incremental append scan applies to REPLACE snapshots.
+ROW_PRESERVING_OPS = frozenset({"replace"})
+
+
+class IncrementalScanError(RuntimeError):
+    """The requested snapshot range is not expressible as an append-only
+    delta (an overwrite/merge/rollback commit intervened, or the start
+    snapshot expired). Callers fall back to a full recompute."""
+
 
 @dataclass
 class PrunePredicate:
@@ -134,8 +146,15 @@ class Table:
         return self.md.current_snapshot()
 
     def _resolve_snapshot(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> meta.Snapshot | None:
+        if ref is not None:
+            if ref not in self.md.refs:
+                raise KeyError(f"ref {ref!r} not found on {self.root}")
+            return self.md.snapshot_by_id(self.md.refs[ref])
         if snapshot_id is not None:
             return self.md.snapshot_by_id(snapshot_id)
         if as_of_ms is not None:
@@ -143,9 +162,12 @@ class Table:
         return self.md.current_snapshot()
 
     def live_entries(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> list[mf.ManifestEntry]:
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
         return mf.read_manifests(self.metadata_dir, snap.manifests)
@@ -159,6 +181,80 @@ class Table:
         paths = [os.path.join(self.metadata_dir, m) for m in snap.manifests]
         return spark.read.parquet(*paths)
 
+    # ---- incremental (changes-between-snapshots) scan ------------------------
+    def incremental_entries(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[mf.ManifestEntry]:
+        """Manifest entries appended in ``(from_snapshot_id, to_snapshot_id]``
+        — Iceberg's incremental append scan. Walks the snapshot lineage
+        backwards from ``to`` and collects each append's added manifests
+        (``snap.manifests − parent.manifests``; manifests are immutable, so
+        the set difference is exactly the appended files). ``replace``
+        snapshots (compaction/clustering/evolution) are row-preserving and
+        contribute nothing; any other operation in the range — overwrite,
+        merge, rollback — means the delta is not append-only and raises
+        :class:`IncrementalScanError`, as does an expired/unreachable start
+        snapshot. Cost is O(appended files), never O(table)."""
+        to_snap = self._resolve_snapshot(to_snapshot_id)
+        if to_snap is None:
+            raise IncrementalScanError("table has no snapshots")
+        chain: list[meta.Snapshot] = []
+        cur: meta.Snapshot | None = to_snap
+        try:
+            while cur is not None and cur.snapshot_id != from_snapshot_id:
+                chain.append(cur)
+                cur = (
+                    self.md.snapshot_by_id(cur.parent_id)
+                    if cur.parent_id is not None
+                    else None
+                )
+        except KeyError as e:  # an ancestor expired mid-walk
+            raise IncrementalScanError(str(e)) from e
+        if cur is None:
+            raise IncrementalScanError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snap.snapshot_id} (expired, or history diverged)"
+            )
+        entries: list[mf.ManifestEntry] = []
+        for s in reversed(chain):  # oldest → newest: delta rows in commit order
+            if s.operation == "append":
+                parent_manifests = (
+                    set(self.md.snapshot_by_id(s.parent_id).manifests)
+                    if s.parent_id is not None
+                    else set()
+                )
+                added = [m for m in s.manifests if m not in parent_manifests]
+                entries.extend(mf.read_manifests(self.metadata_dir, added))
+            elif s.operation in ROW_PRESERVING_OPS:
+                continue
+            else:
+                raise IncrementalScanError(
+                    f"snapshot {s.snapshot_id} is a non-append-only "
+                    f"{s.operation!r} commit; incremental read impossible"
+                )
+        return entries
+
+    def incremental_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Rows appended in ``(from, to]`` as a DataFrame (empty DataFrame
+        with the table schema when nothing was appended). The CDC feed for
+        incremental MV refresh and streaming backfill: readers pay for the
+        delta's bytes only, regardless of table size."""
+        entries = self.incremental_entries(from_snapshot_id, to_snapshot_id)
+        schema = self.schema
+        if not entries:
+            return spark.createDataFrame([], schema=schema)
+        paths = [os.path.join(self.root, e.path) for e in entries]
+        df = spark.read.schema(schema).parquet(*paths)
+        if columns:
+            df = df.select(*columns)
+        return df
+
     # ---- scan ---------------------------------------------------------------
     def scan(
         self,
@@ -167,6 +263,7 @@ class Table:
         as_of_ms: int | None = None,
         prune: Sequence[PrunePredicate] | None = None,
         columns: Sequence[str] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read a snapshot as a DataFrame with manifest-level file pruning.
 
@@ -175,7 +272,7 @@ class Table:
         Iceberg scan planning; Parquet row-group pushdown still applies
         afterwards inside Spark's reader).
         """
-        entries = self.live_entries(snapshot_id, as_of_ms)
+        entries = self.live_entries(snapshot_id, as_of_ms, ref)
         if prune:
             entries = [e for e in entries if self._entry_matches(e, prune)]
         schema = self.schema
@@ -458,6 +555,59 @@ class Table:
             if summary:
                 s.update(summary)
             return md.new_snapshot(operation, manifest_names, s)
+
+        return self._commit(build)
+
+    # ---- refs (tags) + rollback ----------------------------------------------
+    def _commit_metadata_edit(self, edit: Callable[[meta.TableMetadata], None]) -> None:
+        """CAS-retry loop for snapshot-free metadata edits (refs)."""
+        for _attempt in range(5):
+            md = meta.load_metadata(self.root)
+            edit(md)
+            try:
+                meta.commit_metadata(self.root, md, md.version)
+                self.md = md
+                return
+            except meta.ConflictError:
+                continue
+        raise meta.ConflictError(f"metadata edit failed after retries on {self.root}")
+
+    @property
+    def refs(self) -> dict[str, int]:
+        return dict(self.md.refs)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a stable name (Iceberg table-ref tag).
+        Tagged snapshots are protected from expiry and addressable in
+        ``scan(ref=...)`` / ``live_entries(ref=...)``."""
+        def edit(md: meta.TableMetadata) -> None:
+            sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot tag an empty table")
+            md.snapshot_by_id(sid)  # must exist (KeyError otherwise)
+            md.refs[name] = sid
+
+        self._commit_metadata_edit(edit)
+        return self.md.refs[name]
+
+    def drop_tag(self, name: str) -> None:
+        def edit(md: meta.TableMetadata) -> None:
+            md.refs.pop(name, None)
+
+        self._commit_metadata_edit(edit)
+
+    def rollback_to(self, snapshot_id: int) -> meta.Snapshot:
+        """Restore a previous snapshot's state as a NEW commit whose manifest
+        list is the target's (Iceberg rollback semantics, history-preserving:
+        the bad commits stay visible to time travel; readers at the new head
+        see the old rows). File refcounting keeps shared files alive."""
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            target = md.snapshot_by_id(snapshot_id)
+            return md.new_snapshot(
+                "rollback",
+                list(target.manifests),
+                {"rollback-to-snapshot-id": snapshot_id},
+            )
 
         return self._commit(build)
 

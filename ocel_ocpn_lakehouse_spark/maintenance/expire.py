@@ -54,6 +54,9 @@ def expire_snapshots(
     protected = {s.snapshot_id for s in snaps[-keep_last:]} if keep_last else set()
     if md.current_snapshot_id is not None:
         protected.add(md.current_snapshot_id)
+    # tagged snapshots are pinned for as long as the ref exists (Iceberg
+    # ref-retention semantics: expiry never breaks a named ref)
+    protected.update(md.refs.values())
     expired = [
         s for s in snaps if s.snapshot_id not in protected and s.timestamp_ms < older_than_ms
     ]

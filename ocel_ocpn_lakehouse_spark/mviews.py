@@ -26,6 +26,15 @@ class MVDefinition:
     base: str  # base table identifier
     build: Callable[[SparkSession, DataFrame], DataFrame]  # base scan → MV rows
     spec: TableSpec | None = None
+    # incremental view maintenance (self-maintainable aggregates): given the
+    # CURRENT MV rows and the base-table DELTA rows appended since the MV's
+    # recorded base snapshot, produce the new MV rows — e.g. union old rows
+    # with build(delta) and re-aggregate (counts/sums/min/max merge). When
+    # set, refresh() reads only the delta via Table.incremental_scan — cost
+    # ∝ appended bytes, not table size — and falls back to a full rebuild
+    # whenever the range is not append-only (merge/overwrite/rollback) or
+    # the recorded snapshot expired.
+    incr_merge: Callable[[SparkSession, DataFrame, DataFrame], DataFrame] | None = None
 
 
 class MaterializedViewManager:
@@ -62,7 +71,23 @@ class MaterializedViewManager:
             return {"name": name, "status": "fresh"}
         base = self.catalog.load_table(d.base)
         base_snap = base.current_snapshot()
-        result = d.build(spark, base.scan(spark))
+        status = "refreshed"
+        result = None
+        recorded = self.recorded_base_snapshot(name)
+        if d.incr_merge is not None and recorded is not None and base_snap is not None:
+            from .core.table import IncrementalScanError
+
+            try:
+                delta = base.incremental_scan(
+                    spark, int(recorded), base_snap.snapshot_id
+                )
+                mv_now = self.catalog.load_table(name).scan(spark)
+                result = d.incr_merge(spark, mv_now, delta)
+                status = "refreshed-incremental"
+            except IncrementalScanError:
+                result = None  # non-append-only range → full rebuild below
+        if result is None:
+            result = d.build(spark, base.scan(spark))
         if not self.catalog.table_exists(name):
             self.catalog.create_table(name, result.schema, d.spec or TableSpec())
         mv = self.catalog.load_table(name)
@@ -76,7 +101,7 @@ class MaterializedViewManager:
             base_snap.snapshot_id if base_snap else None
         )
         meta.commit_metadata(mv.root, md, md.version)
-        return {"name": name, "status": "refreshed", "rows": result.count()}
+        return {"name": name, "status": status, "rows": result.count()}
 
     def refresh_all(self, spark: SparkSession) -> list[dict]:
         return [self.refresh(spark, n) for n in self.definitions]
@@ -103,7 +128,7 @@ class MaterializedViewManager:
                 results.append(self.refresh(spark, name, force=not stale))
             else:
                 results.append({"name": name, "status": "fresh"})
-        refreshed = [r for r in results if r["status"] == "refreshed"]
+        refreshed = [r for r in results if r["status"].startswith("refreshed")]
         return {
             "total": len(results),
             "refreshed": len(refreshed),

@@ -327,6 +327,93 @@ def q33_image_maintenance(spark, sf_dir):
     )
 
 
+# --- q43: incremental MV refresh over snapshot lineage (engine-native → rows-only) -------
+
+
+def q43_incremental_mv(spark, sf_dir):
+    """Incremental view maintenance driven by the table format: the MV
+    records its base snapshot; refresh reads ONLY the rows appended since
+    (Table.incremental_scan — Iceberg's incremental append scan, skipping
+    row-preserving REPLACE snapshots from compaction) and merges them into
+    the existing aggregate. Cost ∝ delta bytes, not table size — at 10^12
+    rows a full MV rebuild rescans the table, this path rescans one
+    append. Returns one row per refresh with its mode and a final
+    self-check row comparing the incrementally-maintained MV against a
+    from-scratch rebuild (engine-native table format → no SQL oracle)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
+    from ..images.synth import IMAGE_SCHEMA, synth_images_df
+    from ..maintenance.checkpoint import SystemTables
+    from ..maintenance.compact import execute_compaction
+    from ..mviews import MaterializedViewManager, MVDefinition
+
+    wh = tempfile.mkdtemp(prefix="incrmv_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(16 * 1024 * 1024),
+                "compact.small-file-bytes": str(8 * 1024 * 1024),
+            },
+        ),
+    )
+    st = SystemTables(wh)
+
+    def build(s, base):
+        return base.groupBy("fmt").agg(
+            F.count("*").alias("n"),
+            F.sum("w").alias("sum_w"),
+            F.min("phash").alias("min_phash"),
+            F.max("phash").alias("max_phash"),
+        )
+
+    def incr_merge(s, mv_rows, delta):
+        return (
+            mv_rows.unionByName(build(s, delta))
+            .groupBy("fmt")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_w").alias("sum_w"),
+                F.min("min_phash").alias("min_phash"),
+                F.max("max_phash").alias("max_phash"),
+            )
+        )
+
+    mgr = MaterializedViewManager(cat)
+    mgr.register(
+        MVDefinition("ocel.fmt_stats", "ocel.images", build, incr_merge=incr_merge)
+    )
+
+    def batch(n, seed):
+        df = synth_images_df(spark, n_rows=n, seed=seed)
+        return df.withColumn("image_id", F.concat(F.lit(f"s{seed}_"), "image_id"))
+
+    rows = []
+    t.append(batch(64, 1), num_files=4)
+    r = mgr.refresh(spark, "ocel.fmt_stats")
+    rows.append(("refresh_1", r["status"], int(r["status"] == "refreshed")))
+    t.append(batch(32, 2), num_files=4)
+    execute_compaction(spark, t.refresh(), st, "ocel.images")  # replace snapshot in range
+    t.append(batch(16, 3), num_files=2)
+    r = mgr.refresh(spark, "ocel.fmt_stats")
+    rows.append(("refresh_2", r["status"], int(r["status"] == "refreshed-incremental")))
+
+    full = build(spark, cat.load_table("ocel.images").scan(spark))
+    mv = cat.load_table("ocel.fmt_stats").scan(spark)
+    same = sorted(map(tuple, mv.collect())) == sorted(map(tuple, full.collect()))
+    rows.append(("matches_full_rebuild", "check", int(same)))
+    shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, "step string, status string, ok int")
+
+
 # --- q39: embedding-cosine near-dup, exact (oracle-checked) ------------------------------
 
 
@@ -448,6 +535,7 @@ QUERIES = {
     "q40_embedding_neardup_lsh": q40_embedding_neardup_lsh,
     "q41_ann_ivf": q41_ann_ivf,
     "q42_ann_ivf_indexed": q42_ann_ivf_indexed,
+    "q43_incremental_mv": q43_incremental_mv,
 }
 
 ORACLES = {
