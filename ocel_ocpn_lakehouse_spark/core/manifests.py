@@ -44,6 +44,12 @@ MANIFEST_SCHEMA = pa.schema(
         # (Iceberg puffin / Delta bloom-index equivalent). "{}" when absent;
         # readers MUST treat absence as might-contain (no false negatives).
         pa.field("blooms", pa.string()),
+        # JSON [{"path": <dv rel path>, "count": n}] — positional delete
+        # vectors (Iceberg v2 merge-on-read). Each referenced parquet holds
+        # (path, pos) rows; a reader of this data file must drop the rows at
+        # those positions. "[]" when the file has no deletes; maintenance
+        # rewrites absorb DVs and emit clean entries.
+        pa.field("deletes", pa.string()),
     ]
 )
 
@@ -59,6 +65,13 @@ class ManifestEntry:
     null_counts: dict = field(default_factory=dict)
     added_snapshot_id: int = 0
     blooms: dict = field(default_factory=dict)
+    deletes: list = field(default_factory=list)  # [{"path": rel, "count": n}]
+
+    @property
+    def live_count(self) -> int:
+        """Rows visible after positional deletes (record_count is the file's
+        physical row count, Iceberg semantics)."""
+        return self.record_count - sum(int(d.get("count", 0)) for d in self.deletes)
 
     def to_row(self) -> dict:
         return {
@@ -71,6 +84,7 @@ class ManifestEntry:
             "null_counts": json.dumps(self.null_counts, sort_keys=True),
             "added_snapshot_id": int(self.added_snapshot_id),
             "blooms": json.dumps(self.blooms, sort_keys=True),
+            "deletes": json.dumps(self.deletes, sort_keys=True),
         }
 
     @staticmethod
@@ -85,6 +99,7 @@ class ManifestEntry:
             null_counts=json.loads(r["null_counts"]),
             added_snapshot_id=r["added_snapshot_id"],
             blooms=json.loads(r.get("blooms") or "{}"),
+            deletes=json.loads(r.get("deletes") or "[]"),
         )
 
 
@@ -142,6 +157,30 @@ def read_table_nullfill(path: str, arrow_schema, columns: list[str] | None = Non
     # cast to the canonical schema: per-file nullability/metadata quirks
     # would otherwise make concat_tables over mixed-era files fail
     return tbl.select(want).cast(_pa.schema([(f.name, f.type) for f in fields]))
+
+
+def apply_delete_vectors(tbl: "pa.Table", rel_path: str, dv_abs_paths: list[str]) -> "pa.Table":
+    """Drop the positions listed for ``rel_path`` in the given delete-vector
+    parquet files (Iceberg v2 positional deletes). ``tbl`` must be the
+    file's FULL row set in file order — positions index physical rows.
+    Row-group predicate pushdown on ``path`` keeps the read cheap when a
+    commit-level DV spans many data files. Duplicate positions (two delete
+    commits hitting the same row) mask idempotently."""
+    import pyarrow.parquet as _pq
+
+    if not dv_abs_paths:
+        return tbl
+    pos: list[np.ndarray] = []
+    for dv in dv_abs_paths:
+        t = _pq.read_table(dv, filters=[("path", "=", rel_path)], columns=["pos"])
+        if t.num_rows:
+            pos.append(t["pos"].to_numpy(zero_copy_only=False))
+    if not pos:
+        return tbl
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    allpos = np.concatenate(pos)
+    mask[allpos] = False
+    return tbl.filter(pa.array(mask))
 
 
 def spark_to_arrow_schema(spark_schema):

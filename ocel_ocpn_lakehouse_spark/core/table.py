@@ -179,7 +179,9 @@ class Table:
         if snap is None or not snap.manifests:
             return spark.createDataFrame([], schema=_entries_spark_schema())
         paths = [os.path.join(self.metadata_dir, m) for m in snap.manifests]
-        return spark.read.parquet(*paths)
+        # explicit schema: manifests written before a manifest-schema
+        # addition (blooms, deletes) null-fill instead of failing the read
+        return spark.read.schema(_entries_spark_schema()).parquet(*paths)
 
     # ---- incremental (changes-between-snapshots) scan ------------------------
     def incremental_entries(
@@ -276,14 +278,63 @@ class Table:
         if prune:
             entries = [e for e in entries if self._entry_matches(e, prune)]
         schema = self.schema
+        clean = [e for e in entries if not e.deletes]
+        dirty = [e for e in entries if e.deletes]
         if not entries:
             df = spark.createDataFrame([], schema=schema)
-        else:
+        elif not dirty:
             paths = [os.path.join(self.root, e.path) for e in entries]
             df = spark.read.schema(schema).parquet(*paths)
+        else:
+            # merge-on-read: files with positional delete vectors anti-join
+            # their (file, pos) tombstones via Spark's _metadata columns;
+            # clean files union in untouched — they never pay the join.
+            df = self._scan_with_deletes(spark, clean, dirty, schema)
         if columns:
             df = df.select(*columns)
         return df
+
+    def _scan_with_deletes(
+        self,
+        spark: SparkSession,
+        clean: list[mf.ManifestEntry],
+        dirty: list[mf.ManifestEntry],
+        schema: T.StructType,
+    ) -> DataFrame:
+        """MoR read path: tombstoned files drop deleted positions with one
+        anti-join on (_metadata.file_path, _metadata.row_index); the DV side
+        is broadcast when small (the common case — deletes are a sliver of
+        the table, and maintenance absorbs them), else a shuffle join. Scale
+        shape: cost ∝ tombstoned bytes + DV rows; untouched files stream
+        through the ordinary vectorized scan."""
+        cols = schema.fieldNames()
+        dirty_paths = [os.path.join(self.root, e.path) for e in dirty]
+        ddf = (
+            spark.read.schema(schema)
+            .parquet(*dirty_paths)
+            .select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *cols,
+            )
+        )
+        dv_rel = sorted({d["path"] for e in dirty for d in e.deletes})
+        dv = spark.read.parquet(*[os.path.join(self.root, p) for p in dv_rel])
+        # DV rows carry table-root-relative data-file paths; _metadata.file_path
+        # is a file:/abs URI — normalize the DV side once (tiny) instead of
+        # string-mangling every data row.
+        dv = dv.select(
+            F.concat(F.lit(f"file:{self.root}{os.sep}"), F.col("path")).alias("_fp"),
+            F.col("pos").alias("_pos"),
+        )
+        n_dv = sum(int(d.get("count", 0)) for e in dirty for d in e.deletes)
+        if n_dv <= 5_000_000:
+            dv = F.broadcast(dv)
+        survivors = ddf.join(dv, ["_fp", "_pos"], "left_anti").select(*cols)
+        if not clean:
+            return survivors
+        clean_paths = [os.path.join(self.root, e.path) for e in clean]
+        return spark.read.schema(schema).parquet(*clean_paths).unionByName(survivors)
 
     def _entry_matches(self, e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
         for p in preds:
@@ -558,6 +609,47 @@ class Table:
 
         return self._commit(build)
 
+    def commit_delete_vectors(
+        self,
+        dv_rel_path: str,
+        counts_by_path: dict[str, int],
+        summary: dict | None = None,
+    ) -> meta.Snapshot:
+        """Commit a merge-on-read positional-delete: every touched data file's
+        manifest entry gains a reference to ``dv_rel_path`` (Iceberg v2
+        delete-file semantics — data files are untouched; readers anti-join
+        the tombstones, maintenance rewrites absorb them). Fails with
+        ConflictError if a touched file was concurrently rewritten — its
+        positions would index the wrong rows."""
+
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            seq = md.last_sequence_number + 1
+            snap = md.current_snapshot()
+            if snap is None:
+                raise ValueError("cannot delete from an empty table")
+            current = mf.read_manifests(self.metadata_dir, snap.manifests)
+            gone = set(counts_by_path) - {e.path for e in current}
+            if gone:
+                raise meta.ConflictError(
+                    f"{len(gone)} tombstoned file(s) were concurrently rewritten; "
+                    f"replan the delete: {sorted(gone)[:3]}..."
+                )
+            for e in current:
+                n = counts_by_path.get(e.path)
+                if n:
+                    e.deletes = e.deletes + [{"path": dv_rel_path, "count": int(n)}]
+            manifest_names = rewrite_manifests(self.metadata_dir, current, seq)
+            s = {
+                "deleted-rows": int(sum(counts_by_path.values())),
+                "tombstoned-files": len(counts_by_path),
+                "dv-file": dv_rel_path,
+            }
+            if summary:
+                s.update(summary)
+            return md.new_snapshot("delete", manifest_names, s)
+
+        return self._commit(build)
+
     # ---- refs (tags) + rollback ----------------------------------------------
     def _commit_metadata_edit(self, edit: Callable[[meta.TableMetadata], None]) -> None:
         """CAS-retry loop for snapshot-free metadata edits (refs)."""
@@ -674,5 +766,7 @@ def _entries_spark_schema() -> T.StructType:
             T.StructField("upper_bounds", T.StringType()),
             T.StructField("null_counts", T.StringType()),
             T.StructField("added_snapshot_id", T.LongType()),
+            T.StructField("blooms", T.StringType()),
+            T.StructField("deletes", T.StringType()),
         ]
     )

@@ -49,6 +49,7 @@ import os
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..core import manifests as mf
 from ..core.table import Table
@@ -122,7 +123,20 @@ def execute_cluster(
     # aggregate row per table partition plus the plan scalars, so a
     # 10^7-file table plans without manifests ever becoming driver objects
     # (same routing as compaction's plan_compaction_distributed).
-    edf = table.entries_df(spark).select("path", "partition", "size_bytes", "record_count")
+    edf = table.entries_df(spark).select(
+        "path",
+        "partition",
+        "size_bytes",
+        "record_count",
+        F.coalesce(F.col("deletes"), F.lit("[]")).alias("deletes"),
+    )
+    # live rows per file = record_count − positional-delete counts; the
+    # rewrite absorbs DVs, so the map/reduce row guard must expect live rows
+    _live_expr = F.expr(
+        "record_count - coalesce(aggregate("
+        "from_json(deletes, 'array<struct<path:string,count:bigint>>'), "
+        "0L, (a, x) -> a + x.count), 0L)"
+    )
     if planning == "auto":
         planning = "distributed" if edf.count() > 10_000 else "driver"
     removed: set[str] | None
@@ -135,17 +149,15 @@ def execute_cluster(
         for e in entries:
             k = json.dumps(e.partition, sort_keys=True)
             b, r = part_agg.get(k, (0, 0))
-            part_agg[k] = (b + e.size_bytes, r + e.record_count)
+            part_agg[k] = (b + e.size_bytes, r + e.live_count)
         input_ref = [e.path for e in entries]
         removed = {e.path for e in entries}
     else:
-        from pyspark.sql import functions as F
-
         agg_rows = (
             edf.groupBy("partition")
             .agg(
                 F.sum("size_bytes").alias("b"),
-                F.sum("record_count").alias("r"),
+                F.sum(_live_expr).alias("r"),
                 F.count("*").alias("n"),
             )
             .collect()
@@ -182,21 +194,42 @@ def execute_cluster(
     if planning == "driver":
         # parallelize = exact task assignment, no sampling/shuffle sub-job
         file_rows = [
-            (os.path.join(root, e.path), json.dumps(e.partition, sort_keys=True))
+            (
+                os.path.join(root, e.path),
+                json.dumps(e.partition, sort_keys=True),
+                json.dumps(
+                    {"rel": e.path, "dvs": [os.path.join(root, d["path"]) for d in e.deletes]}
+                )
+                if e.deletes
+                else "",
+            )
             for e in entries
         ]
         files_df = spark.createDataFrame(
             spark.sparkContext.parallelize(file_rows, n_map),
-            "path string, pkey string",
+            "path string, pkey string, dv string",
         )
     else:
-        from pyspark.sql import functions as F
-
-        # one metadata-row shuffle; payload bytes are untouched
+        # one metadata-row shuffle; payload bytes are untouched. The dv
+        # column carries {"rel", "dvs": [abs DV paths]} for tombstoned files
+        # ("" for clean ones) so rewrite tasks can absorb deletes.
+        dv_col = F.when(F.col("deletes") == "[]", F.lit("")).otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("path").alias("rel"),
+                    F.expr(
+                        "transform(from_json(deletes, "
+                        "'array<struct<path:string,count:bigint>>'), "
+                        f"x -> concat('{root + os.sep}', x.path))"
+                    ).alias("dvs"),
+                )
+            )
+        )
         files_df = (
             edf.select(
                 F.concat(F.lit(root + os.sep), F.col("path")).alias("path"),
                 F.col("partition").alias("pkey"),
+                dv_col.alias("dv"),
             ).repartition(n_map)
         )
 
@@ -232,8 +265,11 @@ def execute_cluster(
 
             for pdf in batches:
                 out_pk, out_k = [], []
-                for path, pkey in zip(pdf["path"], pdf["pkey"]):
+                for path, pkey, dvj in zip(pdf["path"], pdf["pkey"], pdf["dv"]):
                     tbl = mf.read_table_nullfill(path, arrow_schema, columns=key_cols_read)
+                    if dvj:  # sample live rows only (positions index full file)
+                        dv = json.loads(dvj)
+                        tbl = mf.apply_delete_vectors(tbl, dv["rel"], dv["dvs"])
                     n = tbl.num_rows
                     if n == 0:
                         continue
@@ -307,8 +343,11 @@ def execute_cluster(
             acc_bytes[cidx] = 0
 
         for pdf in batches:
-            for path, pkey in zip(pdf["path"], pdf["pkey"]):
+            for path, pkey, dvj in zip(pdf["path"], pdf["pkey"], pdf["dv"]):
                 tbl = mf.read_table_nullfill(path, arrow_schema)
+                if dvj:  # absorb positional deletes: rewritten layout is clean
+                    dv = json.loads(dvj)
+                    tbl = mf.apply_delete_vectors(tbl, dv["rel"], dv["dvs"])
                 zkey = _curve_np(cspec, tbl)
                 tbl = tbl.append_column(ZKEY_COL, pa.array(zkey, type=pa.int64()))
                 bounds = np.asarray(bounds_by_pkey.get(pkey, []), dtype=np.int64)

@@ -38,7 +38,7 @@ import hashlib
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +59,9 @@ class FileGroup:
     input_paths: list[str]  # relative to table root
     input_bytes: int
     input_records: int
+    # MoR absorb: rel data path → [rel DV paths] for tombstoned members;
+    # the rewrite task masks those positions, so outputs are clean
+    input_dvs: dict = field(default_factory=dict)
 
 
 def _group_id(paths: list[str]) -> str:
@@ -81,7 +84,10 @@ def plan_compaction(
     small = table.small_file_bytes
     by_partition: dict[str, list[mf.ManifestEntry]] = {}
     for e in table.live_entries():
-        if include_all or e.size_bytes < small:
+        # tombstoned files are rewrite candidates regardless of size: the
+        # rewrite absorbs their delete vectors (Iceberg rewrite_data_files
+        # delete-threshold behavior)
+        if include_all or e.size_bytes < small or e.deletes:
             by_partition.setdefault(json.dumps(e.partition, sort_keys=True), []).append(e)
 
     groups: list[FileGroup] = []
@@ -101,7 +107,10 @@ def plan_compaction(
                 bins.append([e])
                 bin_sizes.append(e.size_bytes)
         for b in bins:
-            if len(b) < min_group_files:
+            dvs = {e.path: [d["path"] for d in e.deletes] for e in b if e.deletes}
+            # a lone tombstoned file still needs its rewrite (absorb), even
+            # though a lone clean small file would be left as-is
+            if len(b) < min_group_files and not dvs:
                 continue
             paths = [e.path for e in b]
             groups.append(
@@ -110,7 +119,8 @@ def plan_compaction(
                     partition=b[0].partition,
                     input_paths=paths,
                     input_bytes=sum(e.size_bytes for e in b),
-                    input_records=sum(e.record_count for e in b),
+                    input_records=sum(e.live_count for e in b),
+                    input_dvs=dvs,
                 )
             )
     return groups
@@ -140,9 +150,16 @@ def plan_compaction_distributed(
 
     target = table.target_file_size
     small = table.small_file_bytes
-    e = table.entries_df(spark).select("path", "partition", "size_bytes", "record_count")
+    e = table.entries_df(spark).select(
+        "path",
+        "partition",
+        "size_bytes",
+        "record_count",
+        F.coalesce(F.col("deletes"), F.lit("[]")).alias("deletes"),
+    )
     if not include_all:
-        e = e.filter(F.col("size_bytes") < small)
+        # same candidacy as the driver planner: small OR tombstoned
+        e = e.filter((F.col("size_bytes") < small) | (F.col("deletes") != "[]"))
 
     def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(
@@ -166,7 +183,14 @@ def plan_compaction_distributed(
         out = []
         part = pdf["partition"].iloc[0] if len(pdf) else "{}"
         for b in bins:
-            if len(b) < min_group_files:
+            dvs = {}
+            live = 0
+            for i in b:
+                dels = json.loads(pdf.at[i, "deletes"] or "[]")
+                live += int(pdf.at[i, "record_count"]) - sum(int(d["count"]) for d in dels)
+                if dels:
+                    dvs[pdf.at[i, "path"]] = [d["path"] for d in dels]
+            if len(b) < min_group_files and not dvs:
                 continue
             paths = [pdf.at[i, "path"] for i in b]
             out.append(
@@ -175,12 +199,16 @@ def plan_compaction_distributed(
                     "group_id": _group_id(paths),
                     "input_paths": paths,
                     "input_bytes": int(sum(int(pdf.at[i, "size_bytes"]) for i in b)),
-                    "input_records": int(sum(int(pdf.at[i, "record_count"]) for i in b)),
+                    "input_records": live,
+                    "input_dvs": json.dumps(dvs, sort_keys=True),
                 }
             )
         return pd.DataFrame(
             out,
-            columns=["partition", "group_id", "input_paths", "input_bytes", "input_records"],
+            columns=[
+                "partition", "group_id", "input_paths", "input_bytes",
+                "input_records", "input_dvs",
+            ],
         )
 
     rows = (
@@ -188,7 +216,7 @@ def plan_compaction_distributed(
         .applyInPandas(
             ffd,
             "partition string, group_id string, input_paths array<string>, "
-            "input_bytes long, input_records long",
+            "input_bytes long, input_records long, input_dvs string",
         )
         .collect()
     )
@@ -199,6 +227,7 @@ def plan_compaction_distributed(
             input_paths=list(r["input_paths"]),
             input_bytes=r["input_bytes"],
             input_records=r["input_records"],
+            input_dvs=json.loads(r["input_dvs"] or "{}"),
         )
         for r in rows
     ]
@@ -316,7 +345,21 @@ def execute_compaction(
         # small multiple of the core count)
         by_size = sorted(pending, key=lambda g: (-g.input_bytes, g.group_id))
         spec_rows = [
-            (i, g.group_id, [os.path.join(root, p) for p in g.input_paths])
+            (
+                i,
+                g.group_id,
+                [os.path.join(root, p) for p in g.input_paths],
+                # abs data path → {"rel": manifest path, "dvs": [abs DV paths]}
+                json.dumps(
+                    {
+                        os.path.join(root, p): {
+                            "rel": p,
+                            "dvs": [os.path.join(root, d) for d in dvl],
+                        }
+                        for p, dvl in g.input_dvs.items()
+                    }
+                ),
+            )
             for i, g in enumerate(by_size)
         ]
         # parallelize(n slices) = exactly one group per task with NO extra
@@ -325,7 +368,7 @@ def execute_compaction(
         # tasks)
         spec_df = spark.createDataFrame(
             spark.sparkContext.parallelize(spec_rows, max(len(spec_rows), 1)),
-            "gidx int, group_id string, paths array<string>",
+            "gidx int, group_id string, paths array<string>, dv_json string",
         )
 
         def _rewrite(batches):
@@ -343,9 +386,16 @@ def execute_compaction(
 
             for pdf in batches:
                 out = []
-                for gid, paths in zip(pdf["group_id"], pdf["paths"]):
+                for gid, paths, dvj in zip(pdf["group_id"], pdf["paths"], pdf["dv_json"]):
                     tr = _time.time()
-                    parts = [mf.read_table_nullfill(p, arrow_schema) for p in paths]
+                    dvmap = json.loads(dvj or "{}")
+                    parts = []
+                    for p in paths:
+                        t_ = mf.read_table_nullfill(p, arrow_schema)
+                        dv = dvmap.get(p)
+                        if dv:  # absorb positional deletes: output is clean
+                            t_ = mf.apply_delete_vectors(t_, dv["rel"], dv["dvs"])
+                        parts.append(t_)
                     tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
                     ts_ = _time.time()
                     if sort_cols:

@@ -1,0 +1,150 @@
+"""T16 — merge-on-read DELETE (Iceberg v2 positional delete vectors).
+
+The reference has no row-level delete at all (its tables are append/
+overwrite only — ops/materialized_views.py rebuilds, never deletes); the
+engine's MERGE (T12, maintenance/merge.py) gives copy-on-write row-level
+ops. This module adds the MoR alternative: ``DELETE FROM t WHERE p``
+without rewriting a single data byte —
+
+  plan   : manifest-level candidate pruning (optional PrunePredicates:
+           only files whose bounds/partition/bloom can match the predicate
+           are scanned), then ONE vectorized JVM scan of the candidates
+           projecting (``_metadata.file_path``, ``_metadata.row_index``)
+           for rows matching the predicate. Rows already tombstoned by an
+           earlier delete are anti-joined out, so re-running a delete is a
+           no-op and per-file live counts never double-count.
+  write  : the (file, pos) pairs — sorted by (path, pos) so readers get
+           row-group pushdown on ``path`` — land in ONE delete-vector
+           parquet under ``data/_deletes/``. O(deleted rows), not O(table).
+  commit : metadata-only — every touched file's manifest entry gains a DV
+           reference (``Table.commit_delete_vectors``); concurrent rewrite
+           of a touched file fails the commit (positions would index the
+           wrong rows).
+
+Readers apply tombstones at scan time (core/table.py _scan_with_deletes:
+clean files stream through the ordinary scan; tombstoned files pay one
+broadcast anti-join). Maintenance rewrites (compaction T2, clustering T6,
+MERGE T12) absorb DVs — rewritten files come out clean.
+
+Scale notes: a predicate delete at 10^12 rows scans only the files its
+predicate can touch (manifest pruning), moves only (path, pos) pairs, and
+commits O(touched files) metadata. The single-file DV write serializes in
+one task — at warehouse scale shard the write by table partition (one DV
+per partition, same entry-level reference scheme); noted, not needed at
+this corpus' delete volumes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import manifests as mf
+from ..core.table import PrunePredicate, Table
+from .checkpoint import SystemTables
+
+DELETES_SUBDIR = os.path.join("data", "_deletes")
+
+
+def delete_where(
+    spark: SparkSession,
+    table: Table,
+    condition: str | Column,
+    prune: list[PrunePredicate] | None = None,
+    sys_tables: SystemTables | None = None,
+    table_name: str = "",
+) -> dict:
+    """Merge-on-read row delete. Returns a result dict with the DV path,
+    per-commit deleted-row count and touched-file count."""
+    t0 = time.time()
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"status": "empty-table"}
+    entries = table.live_entries()
+    if prune:
+        entries = [e for e in entries if table._entry_matches(e, prune)]
+    if not entries:
+        return {"status": "no-candidate-files", "deleted_rows": 0}
+
+    root = table.root
+    schema = table.schema
+    cols = schema.fieldNames()
+    prefix = f"file:{root}{os.sep}"
+    cand_paths = [os.path.join(root, e.path) for e in entries]
+    df = (
+        spark.read.schema(schema)
+        .parquet(*cand_paths)
+        .select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *cols,
+        )
+    )
+    hits = df.filter(cond).select("_fp", "_pos")
+
+    # rows an earlier delete already tombstoned must not re-enter the DV
+    dv_rel = sorted({d["path"] for e in entries for d in e.deletes})
+    if dv_rel:
+        old = spark.read.parquet(*[os.path.join(root, p) for p in dv_rel]).select(
+            F.concat(F.lit(prefix), F.col("path")).alias("_fp"),
+            F.col("pos").alias("_pos"),
+        )
+        hits = hits.join(F.broadcast(old), ["_fp", "_pos"], "left_anti")
+
+    hits = hits.select(
+        F.expr(f"substring(_fp, {len(prefix) + 1})").alias("path"),
+        F.col("_pos").alias("pos"),
+    )
+
+    # one sorted DV file (row-group pushdown on 'path' for every later reader)
+    stage = table._stage_dir()
+    out_dir = os.path.join(stage, "dv")
+    hits.coalesce(1).sortWithinPartitions("path", "pos").write.mode("overwrite").parquet(out_dir)
+    parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one DV part file, found {len(parts)}")
+
+    # per-file counts: driver-side single-file read, metadata-sized result
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parts[0], columns=["path"])
+    if tbl.num_rows == 0:
+        return {"status": "no-matches", "deleted_rows": 0, "sec": round(time.time() - t0, 3)}
+    vc = tbl["path"].value_counts().to_pylist()
+    counts = {v["values"]: int(v["counts"]) for v in vc}
+
+    dest_dir = os.path.join(root, DELETES_SUBDIR)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"dv-{uuid.uuid4().hex[:12]}.parquet")
+    os.rename(parts[0], dest)
+    rel_dv = os.path.relpath(dest, root)
+
+    commit = table.commit_delete_vectors(rel_dv, counts)
+    result = {
+        "status": "deleted",
+        "deleted_rows": int(sum(counts.values())),
+        "tombstoned_files": len(counts),
+        "candidate_files": len(entries),
+        "dv_path": rel_dv,
+        "snapshot_id": commit.snapshot_id,
+        "sec": round(time.time() - t0, 3),
+    }
+    if sys_tables is not None:
+        sys_tables.record_group(
+            f"delete-{table.md.table_uuid[:8]}-snap{commit.snapshot_id}",
+            "delete",
+            table_name,
+            "*",
+            "delete-all",
+            "committed",
+            [rel_dv],
+            rows=result["deleted_rows"],
+            nbytes=os.path.getsize(dest),
+        )
+    return result

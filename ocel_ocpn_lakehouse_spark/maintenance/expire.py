@@ -25,6 +25,7 @@ import os
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..core import metadata as meta
 from ..core.table import Table
@@ -74,10 +75,28 @@ def expire_snapshots(
     live_manifest_paths = [os.path.join(mdir, m) for m in live_manifests]
     dead_files: list[str] = []
     if expired_manifest_paths:
-        expired_df = spark.read.parquet(*expired_manifest_paths).select("path").distinct()
+        from ..core.table import _entries_spark_schema
+
+        mschema = _entries_spark_schema()
+        dv_type = "array<struct<path:string,count:bigint>>"
+
+        def _referenced(paths):  # data files ∪ delete-vector files
+            df = spark.read.schema(mschema).parquet(*paths)
+            data = df.select("path")
+            dvs = (
+                df.select(
+                    F.explode_outer(
+                        F.from_json(F.coalesce(F.col("deletes"), F.lit("[]")), dv_type)
+                    ).alias("d")
+                )
+                .select(F.col("d.path").alias("path"))
+                .where(F.col("path").isNotNull())
+            )
+            return data.unionByName(dvs).distinct()
+
+        expired_df = _referenced(expired_manifest_paths)
         if live_manifest_paths:
-            live_df = spark.read.parquet(*live_manifest_paths).select("path").distinct()
-            dead_df = expired_df.join(live_df, "path", "left_anti")
+            dead_df = expired_df.join(_referenced(live_manifest_paths), "path", "left_anti")
         else:
             dead_df = expired_df
         dead_files = [r["path"] for r in dead_df.collect()]
@@ -160,6 +179,8 @@ def sweep_orphans(table: Table, dry_run: bool = False) -> dict:
 
         for e in mf.read_manifests(table.metadata_dir, s.manifests):
             referenced.add(e.path)
+            for d in e.deletes:  # live delete-vector files are not orphans
+                referenced.add(d["path"])
     orphans = []
     for dirpath, _dn, files in os.walk(table.data_dir):
         for f in files:

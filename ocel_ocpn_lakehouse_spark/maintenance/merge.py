@@ -68,7 +68,16 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
     codec = str(spark.conf.get("spark.sql.parquet.compression.codec", "snappy")).lower()
     codec = {"uncompressed": "none", "lz4raw": "lz4"}.get(codec, codec)
     specs = [
-        (i, os.path.join(table.root, e.path)) for i, e in enumerate(touched_entries)
+        (
+            i,
+            os.path.join(table.root, e.path),
+            json.dumps(
+                {"rel": e.path, "dvs": [os.path.join(table.root, d["path"]) for d in e.deletes]}
+            )
+            if e.deletes
+            else "",
+        )
+        for i, e in enumerate(touched_entries)
     ]
 
     def _task(batches):
@@ -82,8 +91,12 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
         kset = keys_b.value
         for pdf in batches:
             out = []
-            for fidx, path in zip(pdf["fidx"], pdf["path"]):
+            for fidx, path, dvj in zip(pdf["fidx"], pdf["path"], pdf["dv"]):
                 tbl = mf.read_table_nullfill(path, arrow_schema)
+                if dvj:  # absorb positional deletes before CoW filtering —
+                    # a tombstoned row must not resurrect into the survivor
+                    dv = json.loads(dvj)
+                    tbl = mf.apply_delete_vectors(tbl, dv["rel"], dv["dvs"])
                 kvals = tbl[key].to_pylist()
                 mask = np.fromiter(
                     ((k is None) or (k not in kset) for k in kvals), bool, count=len(kvals)
@@ -114,7 +127,8 @@ def _rewrite_touched_arrow(spark, table, touched_entries, key_set, key):
             )
 
     spec_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(specs, max(len(specs), 1)), "fidx int, path string"
+        spark.sparkContext.parallelize(specs, max(len(specs), 1)),
+        "fidx int, path string, dv string",
     )
     rows = spec_df.mapInPandas(
         _task,
@@ -415,9 +429,18 @@ def merge_into(
             n_new_rows += n_surv
         elif touched_entries:
             # huge-source fallback: distributed anti-join (keys don't fit a
-            # broadcast) + re-bin to target-size files
-            touched_paths = [os.path.join(table.root, e.path) for e in touched_entries]
-            touched_df = spark.read.schema(table.schema).parquet(*touched_paths)
+            # broadcast) + re-bin to target-size files. Tombstoned touched
+            # files go through the MoR read path so deleted rows cannot
+            # resurrect into the rewrite.
+            t_clean = [e for e in touched_entries if not e.deletes]
+            t_dirty = [e for e in touched_entries if e.deletes]
+            if t_dirty:
+                touched_df = table._scan_with_deletes(
+                    spark, t_clean, t_dirty, table.schema
+                )
+            else:
+                touched_paths = [os.path.join(table.root, e.path) for e in touched_entries]
+                touched_df = spark.read.schema(table.schema).parquet(*touched_paths)
             survivors = touched_df.join(src_keys, key, "left_anti")
             n_surv = survivors.count()
             if n_surv:

@@ -414,6 +414,76 @@ def q43_incremental_mv(spark, sf_dir):
     return spark.createDataFrame(rows, "step string, status string, ok int")
 
 
+# --- q44: merge-on-read DELETE via positional delete vectors (engine-native) -------------
+
+
+def q44_mor_delete(spark, sf_dir):
+    """Iceberg-v2-style merge-on-read delete: DELETE FROM t WHERE p writes
+    a positional delete vector (one parquet of (file, pos) tombstones) and
+    commits metadata only — zero data bytes rewritten. Scans anti-join the
+    tombstones; compaction absorbs them so rewritten files come out clean.
+    Self-checks in the result rows: the MoR scan equals the predicate
+    filter computed BEFORE the delete, the delete commit rewrote no data
+    file, and the post-compaction table is clean and byte-equivalent
+    (engine-native table format → no SQL oracle)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
+    from ..images.synth import IMAGE_SCHEMA, synth_images_df
+    from ..maintenance.checkpoint import SystemTables
+    from ..maintenance.compact import execute_compaction
+    from ..maintenance.deletes import delete_where
+
+    wh = tempfile.mkdtemp(prefix="mordel_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(1024 * 1024),
+                "compact.small-file-bytes": str(512 * 1024),
+            },
+        ),
+    )
+    t.append(synth_images_df(spark, n_rows=128, seed=5), num_files=6, distribution="fragment")
+    st = SystemTables(wh)
+
+    expected = {
+        r["image_id"] for r in t.scan(spark).filter("w <> 32").select("image_id").collect()
+    }
+    files_before = {e.path for e in t.live_entries()}
+
+    r = delete_where(spark, t, "w = 32", sys_tables=st, table_name="ocel.images")
+    t = t.refresh()
+    got = {x["image_id"] for x in t.scan(spark).select("image_id").collect()}
+    files_after = {e.path for e in t.live_entries()}
+
+    rows = [
+        ("delete_rows", r["deleted_rows"], int(got == expected)),
+        ("zero_data_rewrite", len(files_after), int(files_after == files_before)),
+        (
+            "live_counts_exact",
+            sum(e.live_count for e in t.live_entries()),
+            int(sum(e.live_count for e in t.live_entries()) == len(expected)),
+        ),
+    ]
+
+    execute_compaction(spark, t, st, "ocel.images")
+    t = t.refresh()
+    clean = all(not e.deletes for e in t.live_entries())
+    got2 = {x["image_id"] for x in t.scan(spark).select("image_id").collect()}
+    rows.append(("compaction_absorbs", len(t.live_entries()), int(clean and got2 == expected)))
+
+    shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, "step string, n long, ok int")
+
+
 # --- q39: embedding-cosine near-dup, exact (oracle-checked) ------------------------------
 
 
@@ -536,6 +606,7 @@ QUERIES = {
     "q41_ann_ivf": q41_ann_ivf,
     "q42_ann_ivf_indexed": q42_ann_ivf_indexed,
     "q43_incremental_mv": q43_incremental_mv,
+    "q44_mor_delete": q44_mor_delete,
 }
 
 ORACLES = {

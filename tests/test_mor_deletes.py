@@ -1,0 +1,206 @@
+"""Merge-on-read positional deletes (Iceberg v2 delete vectors): T16.
+
+Covers the full DV life cycle: delete_where plans/writes/commits a DV
+without touching data files; scans anti-join tombstones; repeated deletes
+are idempotent and accumulate; compaction, clustering and MERGE absorb
+DVs (rewritten files come out clean and tombstoned rows never
+resurrect); snapshot expiry sweeps orphaned DV files; planners agree
+between driver and distributed modes on tombstoned tables.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, SortOrder, TableSpec
+from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA, synth_images_df
+from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
+from ocel_ocpn_lakehouse_spark.maintenance.compact import (
+    execute_compaction,
+    plan_compaction,
+    plan_compaction_distributed,
+)
+from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+from ocel_ocpn_lakehouse_spark.maintenance.expire import expire_snapshots
+from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+
+PROPS = {
+    "write.target-file-size-bytes": str(512 * 1024),
+    "compact.small-file-bytes": str(256 * 1024),
+    "snapshot.retention-days": "0",
+}
+
+
+def _table(spark, warehouse, n_rows=300, n_files=12):
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties=PROPS,
+        ),
+    )
+    t.append(
+        synth_images_df(spark, n_rows=n_rows, seed=11),
+        num_files=n_files,
+        distribution="fragment",
+    )
+    return cat, t
+
+
+def _ids(df):
+    return {r["image_id"] for r in df.select("image_id").collect()}
+
+
+def checksum(df):
+    aggs = [F.count("*").alias("_n")]
+    for c in df.columns:
+        h = F.xxhash64(F.col(c).cast("string") if c != "bytes" else F.md5("bytes"))
+        aggs.append(F.sum(h.cast("decimal(38,0)")).alias(c))
+    return df.agg(*aggs).first().asDict()
+
+
+def test_delete_where_scan_idempotence_accumulation(spark, warehouse):
+    _, t = _table(spark, warehouse)
+    before = t.scan(spark)
+    s_pre = t.current_snapshot().snapshot_id
+    expected = _ids(before.filter(~(F.col("w") == 32)))
+
+    r = delete_where(spark, t, "w = 32")
+    assert r["status"] == "deleted" and r["deleted_rows"] > 0
+    t = t.refresh()
+    assert t.current_snapshot().operation == "delete"
+    assert _ids(t.scan(spark)) == expected
+    # data files untouched: only a DV landed
+    assert os.path.isfile(os.path.join(t.root, r["dv_path"]))
+
+    # idempotent: same predicate again matches nothing new
+    assert delete_where(spark, t, "w = 32")["status"] == "no-matches"
+
+    # accumulate a second DV; live counts stay exact
+    r2 = delete_where(spark, t, "h = 64")
+    t = t.refresh()
+    expected2 = _ids(before.filter(~((F.col("w") == 32) | (F.col("h") == 64))))
+    assert _ids(t.scan(spark)) == expected2
+    assert sum(e.live_count for e in t.live_entries()) == len(expected2)
+    assert r2["deleted_rows"] == len(expected) - len(expected2)
+
+    # time travel reads the pre-delete row set
+    assert t.scan(spark, snapshot_id=s_pre).count() == 300
+
+
+def test_compaction_absorbs_delete_vectors(spark, warehouse):
+    cat, t = _table(spark, warehouse)
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    want = checksum(t.scan(spark))  # MoR scan is the truth to preserve
+
+    execute_compaction(spark, t, SystemTables(cat.warehouse), "ocel.images")
+    t = t.refresh()
+    assert t.current_snapshot().operation == "replace"
+    live = t.live_entries()
+    assert all(not e.deletes for e in live), "rewrite must absorb DVs"
+    assert checksum(t.scan(spark)) == want
+    # physical rows now equal live rows (tombstones gone, not just hidden)
+    assert sum(e.record_count for e in live) == want["_n"]
+
+
+def test_cluster_absorbs_delete_vectors(spark, warehouse):
+    cat, t = _table(spark, warehouse)
+    delete_where(spark, t, "fmt = 'jpeg'")
+    t = t.refresh()
+    want = checksum(t.scan(spark))
+
+    r = execute_cluster(spark, t, SystemTables(cat.warehouse), "ocel.images", curve="zorder")
+    assert r["status"] == "committed"
+    t = t.refresh()
+    live = t.live_entries()
+    assert all(not e.deletes for e in live)
+    assert checksum(t.scan(spark)) == want
+    assert sum(e.record_count for e in live) == want["_n"]
+
+
+def test_merge_on_tombstoned_table_never_resurrects(spark, warehouse):
+    cat, t = _table(spark, warehouse)
+    # tombstone a slice that overlaps files the merge will touch
+    dead = sorted(_ids(t.scan(spark).filter("w = 32")))
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    pre = t.scan(spark).cache()
+    pre.count()
+
+    # source: upsert 10 live rows (new caption), delete 5 live rows, and
+    # try to upsert 2 TOMBSTONED ids — MERGE treats them as inserts of new
+    # rows (their old rows are dead), never as resurrection of old bytes
+    live_ids = sorted(_ids(pre))
+    upd = live_ids[:10]
+    del_ = live_ids[10:15]
+    re_add = dead[:2]
+    src = (
+        pre.filter(F.col("image_id").isin(upd))
+        .withColumn("caption", F.lit("updated"))
+        .withColumn("_op", F.lit("upsert"))
+    )
+    del_src = pre.filter(F.col("image_id").isin(del_)).withColumn("_op", F.lit("delete"))
+    # re-add rows built from scratch (new bytes/caption under a dead id);
+    # synth ids for n_rows=2 are img_...0000 / ...0001 — remap deterministically
+    readd_rows = (
+        synth_images_df(spark, n_rows=2, seed=99)
+        .withColumn(
+            "image_id",
+            F.when(F.col("image_id") == "img_000000000000", re_add[0]).otherwise(re_add[1]),
+        )
+        .withColumn("_op", F.lit("upsert"))
+    )
+    source = src.unionByName(del_src).unionByName(readd_rows)
+
+    r = merge_into(spark, t, source, sys_tables=SystemTables(cat.warehouse), table_name="ocel.images")
+    assert r["status"] == "committed"
+    t = t.refresh()
+    got = t.scan(spark)
+
+    src_keys = set(upd) | set(del_) | set(re_add)
+    expected_ids = (set(live_ids) - src_keys) | set(upd) | set(re_add)
+    assert _ids(got) == expected_ids
+    # tombstoned-but-not-readded ids stay dead
+    assert not (set(dead) - set(re_add)) & _ids(got)
+    # updated rows carry the new caption; re-added rows are the NEW rows
+    caps = {r["image_id"]: r["caption"] for r in got.filter(F.col("image_id").isin(upd)).collect()}
+    assert all(c == "updated" for c in caps.values()) and len(caps) == 10
+    pre.unpersist()
+
+
+def test_planner_parity_with_tombstones(spark, warehouse):
+    _, t = _table(spark, warehouse)
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    a = plan_compaction(t)
+    b = plan_compaction_distributed(spark, t)
+    da = {g.group_id: (sorted(g.input_paths), g.input_records, g.input_dvs) for g in a}
+    db = {g.group_id: (sorted(g.input_paths), g.input_records, g.input_dvs) for g in b}
+    assert da == db and len(da) > 0
+    assert any(g.input_dvs for g in a)
+
+
+def test_expire_sweeps_orphan_dv_files(spark, warehouse):
+    import time
+
+    cat, t = _table(spark, warehouse)
+    r = delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    dv_abs = os.path.join(t.root, r["dv_path"])
+    assert os.path.isfile(dv_abs)
+
+    # absorb the DV, then expire everything but the head: the DV file is
+    # now referenced only by expired snapshots → swept with the dead data
+    execute_compaction(spark, t, SystemTables(cat.warehouse), "ocel.images")
+    t = t.refresh()
+    future = int(time.time() * 1000) + 10**9
+    res = expire_snapshots(spark, t, older_than_ms=future, keep_last=1)
+    assert res["status"] == "expired"
+    assert not os.path.isfile(dv_abs)
+    # head still scans clean
+    assert t.refresh().scan(spark).count() == sum(e.live_count for e in t.refresh().live_entries())
