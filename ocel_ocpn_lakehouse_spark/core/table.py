@@ -611,16 +611,21 @@ class Table:
 
     def commit_delete_vectors(
         self,
-        dv_rel_path: str,
+        dv_rel_path: str | None,
         counts_by_path: dict[str, int],
         summary: dict | None = None,
+        added_entries: list[mf.ManifestEntry] | None = None,
+        operation: str = "delete",
     ) -> meta.Snapshot:
         """Commit a merge-on-read positional-delete: every touched data file's
         manifest entry gains a reference to ``dv_rel_path`` (Iceberg v2
         delete-file semantics — data files are untouched; readers anti-join
         the tombstones, maintenance rewrites absorb them). Fails with
         ConflictError if a touched file was concurrently rewritten — its
-        positions would index the wrong rows."""
+        positions would index the wrong rows. ``added_entries`` lets a MoR
+        MERGE land its upsert files in the SAME snapshot as the tombstones
+        (atomicity: readers see old rows disappear and new rows appear
+        together, never one without the other)."""
 
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1
@@ -638,15 +643,19 @@ class Table:
                 n = counts_by_path.get(e.path)
                 if n:
                     e.deletes = e.deletes + [{"path": dv_rel_path, "count": int(n)}]
-            manifest_names = rewrite_manifests(self.metadata_dir, current, seq)
+            added = added_entries or []
+            for e in added:
+                e.added_snapshot_id = seq
+            manifest_names = rewrite_manifests(self.metadata_dir, current + added, seq)
             s = {
                 "deleted-rows": int(sum(counts_by_path.values())),
                 "tombstoned-files": len(counts_by_path),
                 "dv-file": dv_rel_path,
+                "added-files": len(added),
             }
             if summary:
                 s.update(summary)
-            return md.new_snapshot("delete", manifest_names, s)
+            return md.new_snapshot(operation, manifest_names, s)
 
         return self._commit(build)
 

@@ -51,6 +51,58 @@ from .checkpoint import SystemTables
 DELETES_SUBDIR = os.path.join("data", "_deletes")
 
 
+def exclude_existing_tombstones(spark, table: Table, entries, hits, prefix: str):
+    """Anti-join rows an earlier delete already tombstoned out of ``hits``
+    ((_fp, _pos) rows): repeated predicates become no-ops and per-file
+    live counts never double-count."""
+    dv_rel = sorted({d["path"] for e in entries for d in e.deletes})
+    if not dv_rel:
+        return hits
+    old = spark.read.parquet(*[os.path.join(table.root, p) for p in dv_rel]).select(
+        F.concat(F.lit(prefix), F.col("path")).alias("_fp"),
+        F.col("pos").alias("_pos"),
+    )
+    return hits.join(F.broadcast(old), ["_fp", "_pos"], "left_anti")
+
+
+def write_delete_vector(
+    spark, table: Table, hits, prefix: str
+) -> tuple[str | None, dict[str, int]]:
+    """Materialize (_fp, _pos) hit rows as ONE (path, pos)-sorted delete-
+    vector parquet under ``data/_deletes/`` (sorted so every later reader
+    gets row-group pushdown on ``path``). Returns (rel DV path, per-file
+    counts) — (None, {}) when nothing matched."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    hits = hits.select(
+        F.expr(f"substring(_fp, {len(prefix) + 1})").alias("path"),
+        F.col("_pos").alias("pos"),
+    )
+    stage = table._stage_dir()
+    out_dir = os.path.join(stage, "dv")
+    hits.coalesce(1).sortWithinPartitions("path", "pos").write.mode("overwrite").parquet(out_dir)
+    parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one DV part file, found {len(parts)}")
+
+    # per-file counts: driver-side single-file read, metadata-sized result
+    tbl = pq.read_table(parts[0], columns=["path"])
+    if tbl.num_rows == 0:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None, {}
+    vc = tbl["path"].value_counts().to_pylist()
+    counts = {v["values"]: int(v["counts"]) for v in vc}
+
+    dest_dir = os.path.join(table.root, DELETES_SUBDIR)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"dv-{uuid.uuid4().hex[:12]}.parquet")
+    os.rename(parts[0], dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return os.path.relpath(dest, table.root), counts
+
+
 def delete_where(
     spark: SparkSession,
     table: Table,
@@ -87,43 +139,10 @@ def delete_where(
         )
     )
     hits = df.filter(cond).select("_fp", "_pos")
-
-    # rows an earlier delete already tombstoned must not re-enter the DV
-    dv_rel = sorted({d["path"] for e in entries for d in e.deletes})
-    if dv_rel:
-        old = spark.read.parquet(*[os.path.join(root, p) for p in dv_rel]).select(
-            F.concat(F.lit(prefix), F.col("path")).alias("_fp"),
-            F.col("pos").alias("_pos"),
-        )
-        hits = hits.join(F.broadcast(old), ["_fp", "_pos"], "left_anti")
-
-    hits = hits.select(
-        F.expr(f"substring(_fp, {len(prefix) + 1})").alias("path"),
-        F.col("_pos").alias("pos"),
-    )
-
-    # one sorted DV file (row-group pushdown on 'path' for every later reader)
-    stage = table._stage_dir()
-    out_dir = os.path.join(stage, "dv")
-    hits.coalesce(1).sortWithinPartitions("path", "pos").write.mode("overwrite").parquet(out_dir)
-    parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
-    if len(parts) != 1:
-        raise RuntimeError(f"expected one DV part file, found {len(parts)}")
-
-    # per-file counts: driver-side single-file read, metadata-sized result
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(parts[0], columns=["path"])
-    if tbl.num_rows == 0:
+    hits = exclude_existing_tombstones(spark, table, entries, hits, prefix)
+    rel_dv, counts = write_delete_vector(spark, table, hits, prefix)
+    if rel_dv is None:
         return {"status": "no-matches", "deleted_rows": 0, "sec": round(time.time() - t0, 3)}
-    vc = tbl["path"].value_counts().to_pylist()
-    counts = {v["values"]: int(v["counts"]) for v in vc}
-
-    dest_dir = os.path.join(root, DELETES_SUBDIR)
-    os.makedirs(dest_dir, exist_ok=True)
-    dest = os.path.join(dest_dir, f"dv-{uuid.uuid4().hex[:12]}.parquet")
-    os.rename(parts[0], dest)
-    rel_dv = os.path.relpath(dest, root)
 
     commit = table.commit_delete_vectors(rel_dv, counts)
     result = {
@@ -145,6 +164,6 @@ def delete_where(
             "committed",
             [rel_dv],
             rows=result["deleted_rows"],
-            nbytes=os.path.getsize(dest),
+            nbytes=os.path.getsize(os.path.join(root, rel_dv)),
         )
     return result

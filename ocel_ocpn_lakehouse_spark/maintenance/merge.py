@@ -27,6 +27,15 @@ is materialized on the driver; above, planning runs over ``entries_df`` —
 the driver collects only bucket-pruned path strings for the probe and the
 touched files' entry rows (bounded by the source key count), never the
 whole manifest.
+
+``strategy='mor'`` (or table property ``write.merge.mode=merge-on-read``)
+switches step 3 to Iceberg-v2 merge-on-read: matched target rows become
+positional tombstones in ONE delete-vector parquet and upserts append as
+new files, committed atomically in a single snapshot — zero data-file
+rewrite. Wins when merges are point-ish relative to file size (CoW
+rewrites gigabytes to drop a handful of rows); scans pay the tombstone
+anti-join until routine compaction absorbs the DVs. Both strategies are
+content-equivalent (test_mor_merge_matches_cow_and_rewrites_nothing).
 """
 
 from __future__ import annotations
@@ -264,8 +273,13 @@ def merge_into(
     sys_tables: SystemTables | None = None,
     table_name: str = "",
     planning: str = "auto",  # auto | driver | distributed
+    strategy: str | None = None,  # cow | mor (default: table write.merge.mode, else cow)
 ) -> dict:
     t0 = time.time()
+    strategy = (strategy or table.properties.get("write.merge.mode", "cow")).lower()
+    strategy = {"copy-on-write": "cow", "merge-on-read": "mor"}.get(strategy, strategy)
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     data_cols = table.schema.fieldNames()
     src = source.select(*data_cols, op_col).cache()
     try:
@@ -413,6 +427,64 @@ def merge_into(
         upserts = src.filter(F.col(op_col) == "upsert").select(*data_cols)
         new_entries: list = []
         n_new_rows = 0
+
+        if strategy == "mor":
+            # merge-on-read: matched target rows become positional
+            # tombstones (Iceberg v2 write.merge.mode=merge-on-read) and
+            # upserts append as new files — ZERO data-file rewrite, one
+            # atomic commit. The scale case this wins: point-ish merges
+            # into large files, where CoW rewrites gigabytes to drop a
+            # handful of rows; routine compaction absorbs the tombstones.
+            from .deletes import exclude_existing_tombstones, write_delete_vector
+
+            prefix = f"file:{table.root}{os.sep}"
+            rel_dv, counts = None, {}
+            if touched_entries:
+                tpaths = [os.path.join(table.root, e.path) for e in touched_entries]
+                tdf = (
+                    spark.read.schema(table.schema)
+                    .parquet(*tpaths)
+                    .select(
+                        F.col("_metadata.file_path").alias("_fp"),
+                        F.col("_metadata.row_index").alias("_pos"),
+                        F.col(key),
+                    )
+                )
+                hits = tdf.join(src_keys, key, "inner").select("_fp", "_pos")
+                hits = exclude_existing_tombstones(
+                    spark, table, touched_entries, hits, prefix
+                )
+                rel_dv, counts = write_delete_vector(spark, table, hits, prefix)
+            n_upserts_mor = upserts.count()
+            if n_upserts_mor:
+                tot = (
+                    table.entries_df(spark)
+                    .agg(F.sum("size_bytes").alias("b"), F.sum("record_count").alias("r"))
+                    .first()
+                )
+                avg_row = (tot["b"] / max(1, tot["r"])) if tot["b"] else 8192
+                nf = max(1, -(-int(n_upserts_mor * avg_row) // table.target_file_size))
+                new_entries = table.write_data_files(upserts, num_files=int(nf))
+            if not counts and not new_entries:
+                return {"status": "no-op", "strategy": "mor", "source_rows": n_src}
+            snap = table.commit_delete_vectors(
+                rel_dv,
+                counts,
+                added_entries=new_entries,
+                operation="merge",
+                summary={"source-rows": n_src, "strategy": "merge-on-read"},
+            )
+            return {
+                "status": "committed",
+                "strategy": "mor",
+                "snapshot_id": snap.snapshot_id,
+                "source_rows": n_src,
+                "touched_files": len(counts),
+                "tombstoned_rows": int(sum(counts.values())),
+                "files_added": len(new_entries),
+                "probe": probe_stats,
+                "duration_ms": int((time.time() - t0) * 1000),
+            }
 
         if touched_entries and n_src <= BROADCAST_THRESHOLD_ROWS:
             # Arrow per-file CoW (the common case): broadcast the source key

@@ -173,6 +173,71 @@ def test_merge_on_tombstoned_table_never_resurrects(spark, warehouse):
     pre.unpersist()
 
 
+def test_mor_merge_matches_cow_and_rewrites_nothing(spark, warehouse):
+    """write.merge.mode=merge-on-read: same source merged under CoW and MoR
+    strategies must produce identical table contents; the MoR commit must
+    leave every pre-merge data file in place (tombstones only), and
+    compaction afterwards absorbs them without changing the rows."""
+    cat, t_cow = _table(spark, warehouse)
+    t_mor = cat.create_table(
+        "ocel.images_mor",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties=PROPS,
+        ),
+    )
+    t_mor.append(
+        synth_images_df(spark, n_rows=300, seed=11), num_files=12, distribution="fragment"
+    )
+    # a pre-existing tombstone on the MoR table: the merge must stack on it
+    delete_where(spark, t_mor, "w = 16")
+    delete_where(spark, t_cow, "w = 16")
+    t_mor, t_cow = t_mor.refresh(), t_cow.refresh()
+    assert checksum(t_mor.scan(spark)) == checksum(t_cow.scan(spark))
+
+    live = sorted(_ids(t_cow.scan(spark)))
+    upd, del_ = live[:12], live[12:18]
+    src = (
+        t_cow.scan(spark)
+        .filter(F.col("image_id").isin(upd))
+        .withColumn("caption", F.lit("v2"))
+        .withColumn("_op", F.lit("upsert"))
+        .unionByName(
+            t_cow.scan(spark)
+            .filter(F.col("image_id").isin(del_))
+            .withColumn("_op", F.lit("delete"))
+        )
+        .cache()
+    )
+    src.count()
+
+    st = SystemTables(cat.warehouse)
+    pre_files = {e.path for e in t_mor.live_entries()}
+    r_cow = merge_into(spark, t_cow, src, sys_tables=st, table_name="ocel.images")
+    r_mor = merge_into(
+        spark, t_mor, src, sys_tables=st, table_name="ocel.images_mor", strategy="mor"
+    )
+    assert r_cow["status"] == r_mor["status"] == "committed"
+    assert r_mor["strategy"] == "mor" and r_mor["tombstoned_rows"] > 0
+    t_cow, t_mor = t_cow.refresh(), t_mor.refresh()
+    assert checksum(t_cow.scan(spark)) == checksum(t_mor.scan(spark))
+    # zero rewrite: every pre-merge file is still live (now tombstoned),
+    # only upsert files were added
+    post_files = {e.path for e in t_mor.live_entries()}
+    assert pre_files <= post_files
+    assert len(post_files - pre_files) == r_mor["files_added"]
+    # the merge snapshot is atomic: one commit carries DV refs + new files
+    assert t_mor.current_snapshot().operation == "merge"
+
+    execute_compaction(spark, t_mor, st, "ocel.images_mor")
+    t_mor = t_mor.refresh()
+    assert all(not e.deletes for e in t_mor.live_entries())
+    assert checksum(t_mor.scan(spark)) == checksum(t_cow.scan(spark))
+    src.unpersist()
+
+
 def test_planner_parity_with_tombstones(spark, warehouse):
     _, t = _table(spark, warehouse)
     delete_where(spark, t, "w = 32")
