@@ -7,7 +7,7 @@ plan → one Arrow rewrite job (hundreds of groups, each reading hundreds
 of files) → single replace-snapshot commit → scan equivalence. Reports
 where the time goes and peak driver RSS.
 
-Usage: python tools/metadata_stress.py [n_files] [cpus] [compact|cluster|merge]
+Usage: python tools/metadata_stress.py [n_files] [cpus] [compact|cluster|merge|merge-mor|merge-bloom]
 
 `cluster` runs the fused single-pass rewrite (execute_cluster on the
 fragmented input — bin-pack + curve-cluster in one pass) over the same
@@ -111,7 +111,7 @@ def main() -> int:
                     "merge_s": res.get("duration_ms", 0) / 1000,
                 },
             )
-        elif op == "merge":
+        elif op in ("merge", "merge-mor"):
             from pyspark.sql import functions as F
 
             from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
@@ -130,9 +130,25 @@ def main() -> int:
                     ),
                 )
             )
-            res = merge_into(spark, t, src, key="id")
+            res = merge_into(
+                spark, t, src, key="id",
+                strategy="mor" if op == "merge-mor" else None,
+            )
             res.setdefault("groups", res.get("touched_files", 0))
-            res.setdefault("phases", {"merge_s": res.get("duration_ms", 0) / 1000})
+            res.setdefault(
+                "phases",
+                {
+                    "merge_s": res.get("duration_ms", 0) / 1000,
+                    **(
+                        {
+                            "tombstoned_rows": res.get("tombstoned_rows", 0),
+                            "files_added": res.get("files_added", 0),
+                        }
+                        if op == "merge-mor"
+                        else {}
+                    ),
+                },
+            )
         else:
             res = execute_compaction(spark, t, SystemTables(cat.warehouse), "stress.rows")
         compact_s = time.time() - t1
@@ -140,7 +156,7 @@ def main() -> int:
         rows_after = t.scan(spark).count()
         rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
-        if op == "merge":
+        if op in ("merge", "merge-mor"):
             # deletes remove their rows; upserts replace 1:1 (all keys exist)
             n_del = len([i for i in range(0, rows_before, 100) if (i // 100) % 2 == 0])
             rows_expected = rows_before - n_del
