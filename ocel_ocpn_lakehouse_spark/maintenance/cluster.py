@@ -322,11 +322,15 @@ def execute_cluster(
         acc_bytes: dict[int, int] = {}
         flush_idx: dict[int, int] = {}
         counts: dict[int, int] = {}
+        timing = {"t_read": 0.0, "t_write": 0.0}
 
         def _flush(cidx: int):
+            import time as _time
+
             parts = acc.pop(cidx, [])
             if not parts:
                 return
+            tw = _time.time()
             frag_tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
             cdir = os.path.join(shuffle_dir, f"c{cidx}")
             os.makedirs(cdir, exist_ok=True)
@@ -341,13 +345,18 @@ def execute_cluster(
             pq.write_table(frag_tbl, tmp, compression="lz4")
             os.rename(tmp, frag)
             acc_bytes[cidx] = 0
+            timing["t_write"] += _time.time() - tw
+
+        import time as _time
 
         for pdf in batches:
             for path, pkey, dvj in zip(pdf["path"], pdf["pkey"], pdf["dv"]):
+                tr = _time.time()
                 tbl = mf.read_table_nullfill(path, arrow_schema)
                 if dvj:  # absorb positional deletes: rewritten layout is clean
                     dv = json.loads(dvj)
                     tbl = mf.apply_delete_vectors(tbl, dv["rel"], dv["dvs"])
+                timing["t_read"] += _time.time() - tr
                 zkey = _curve_np(cspec, tbl)
                 tbl = tbl.append_column(ZKEY_COL, pa.array(zkey, type=pa.int64()))
                 bounds = np.asarray(bounds_by_pkey.get(pkey, []), dtype=np.int64)
@@ -366,16 +375,27 @@ def execute_cluster(
                         _flush(cidx)
         for cidx in list(acc):
             _flush(cidx)
-        yield pd.DataFrame(
-            [{"cidx": c, "rows": n} for c, n in counts.items()],
-            columns=["cidx", "rows"],
-        )
+        rows_out = [
+            {"cidx": c, "rows": n, "t_read": 0.0, "t_write": 0.0}
+            for c, n in counts.items()
+        ]
+        # task-level timings ride on one row per task (summed driver-side)
+        if rows_out:
+            rows_out[0]["t_read"] = timing["t_read"]
+            rows_out[0]["t_write"] = timing["t_write"]
+        yield pd.DataFrame(rows_out, columns=["cidx", "rows", "t_read", "t_write"])
 
-    map_acks = files_df.mapInPandas(_map_shuffle, "cidx int, rows long").collect()
+    map_acks = files_df.mapInPandas(
+        _map_shuffle, "cidx int, rows long, t_read double, t_write double"
+    ).collect()
     mapped_rows = sum(r["rows"] for r in map_acks)
     if mapped_rows != total_records:
         raise RuntimeError(f"cluster map row mismatch: {mapped_rows} != {total_records}")
     phases["map"] = time.time() - t_map
+    phases["map_task_totals"] = {  # type: ignore[assignment]
+        "t_read": round(sum(r["t_read"] for r in map_acks), 2),
+        "t_write": round(sum(r["t_write"] for r in map_acks), 2),
+    }
 
     # --- 3. REDUCE: concat + sort + one file per combo --------------------
     t_reduce = time.time()
@@ -394,16 +414,21 @@ def execute_cluster(
 
         pa.set_cpu_count(1)  # one Arrow thread per one-core task
 
+        import time as _time
+
         for pdf in batches:
             out = []
             for cidx in pdf["cidx"]:
+                tr = _time.time()
                 cdir = os.path.join(shuffle_dir, f"c{cidx}")
                 # only committed fragments — a crashed attempt's .inprogress
                 # must never be ingested
                 frags = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
                 parts = [pq.read_table(os.path.join(cdir, f)) for f in frags]
                 tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                ts_ = _time.time()
                 tbl = tbl.sort_by([(ZKEY_COL, "ascending")])
+                tw = _time.time()
                 dest = os.path.join(staging, f"c{cidx}.parquet")
                 tmp = f"{dest}.{os.getpid()}.inprogress"  # attempt-unique
                 pq.write_table(tbl, tmp, compression=codec)
@@ -418,20 +443,28 @@ def execute_cluster(
                         "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                         "null_counts": json.dumps(st["null_counts"]),
                         "blooms": json.dumps(mf.build_blooms(tbl, bloom_cols)),
+                        "t_read": ts_ - tr,
+                        "t_sort": tw - ts_,
+                        "t_write": _time.time() - tw,
                     }
                 )
             yield pd.DataFrame(
                 out,
                 columns=["cidx", "size_bytes", "record_count", "lower_bounds",
-                         "upper_bounds", "null_counts", "blooms"],
+                         "upper_bounds", "null_counts", "blooms",
+                         "t_read", "t_sort", "t_write"],
             )
 
     stat_rows = combo_df.mapInPandas(
         _reduce_write,
         "cidx int, size_bytes long, record_count long, "
-        "lower_bounds string, upper_bounds string, null_counts string, blooms string",
+        "lower_bounds string, upper_bounds string, null_counts string, blooms string, "
+        "t_read double, t_sort double, t_write double",
     ).collect()
     phases["reduce"] = time.time() - t_reduce
+    phases["reduce_task_totals"] = {  # type: ignore[assignment]
+        k: round(sum(r[k] for r in stat_rows), 2) for k in ("t_read", "t_sort", "t_write")
+    }
 
     # --- 4. publish + commit ----------------------------------------------
     t_publish = time.time()
@@ -520,5 +553,5 @@ def execute_cluster(
         "rows": total_records,
         "bytes": total_bytes,
         "duration_ms": dur_ms,
-        "phases": {k: round(v, 3) for k, v in phases.items()},
+        "phases": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()},
     }

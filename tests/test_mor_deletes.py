@@ -250,6 +250,40 @@ def test_planner_parity_with_tombstones(spark, warehouse):
     assert any(g.input_dvs for g in a)
 
 
+def test_delete_where_with_manifest_pruning(spark, warehouse):
+    """The prune parameter bounds the candidate scan at the manifest level:
+    only files matching the PrunePredicates are read for tombstone
+    planning, so a partition-scoped delete touches one bucket's files."""
+    from ocel_ocpn_lakehouse_spark.core.table import PrunePredicate
+
+    _, t = _table(spark, warehouse)
+    before = t.scan(spark).cache()
+    before.count()
+    b = t.bucket_value(spark, "img_000000000001")
+    pred = [PrunePredicate("_p_image_id_bucket", "=", b)]
+    bucket_files = {e.path for e in t.live_entries() if e.partition.get("_p_image_id_bucket") == b}
+
+    r = delete_where(spark, t, "w = 32", prune=pred)
+    assert r["status"] == "deleted"
+    assert r["candidate_files"] == len(bucket_files)
+    assert set(_dv_files(t.refresh())) <= bucket_files
+    t = t.refresh()
+    # rows with w=32 in OTHER buckets survive (prune bounds the delete's scope)
+    got = _ids(t.scan(spark))
+    gone = _ids(before) - got
+    assert gone  # something was deleted
+    assert gone == _ids(
+        spark.read.schema(t.schema)
+        .parquet(*[f"{t.root}/{p}" for p in bucket_files])
+        .filter("w = 32")
+    )
+    before.unpersist()
+
+
+def _dv_files(t):
+    return [e.path for e in t.live_entries() if e.deletes]
+
+
 def test_expire_sweeps_orphan_dv_files(spark, warehouse):
     import time
 

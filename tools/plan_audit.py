@@ -93,6 +93,31 @@ def main() -> int:
             p,
         )
     )
+    # 4b. merge-on-read scan: tombstoned files take ONE broadcast left-anti
+    # join on (_metadata.file_path, row_index); clean files union in with a
+    # plain scan that never pays the join (the MoR read-cost claim)
+    from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+
+    # bucket-pruned delete → one dirty file among clean ones (mixed plan)
+    delete_where(spark, t, "w = 32", prune=[PrunePredicate("_p_image_id_bucket", "=", b)])
+    t = t.refresh()
+    dirty_n = sum(1 for e in t.live_entries() if e.deletes)
+    clean_n = sum(1 for e in t.live_entries() if not e.deletes)
+    p = plan_of(t.scan(spark))
+    checks.append(
+        (
+            f"MoR scan: broadcast anti-join tombstones ({dirty_n} dirty / {clean_n} clean files)",
+            "BroadcastHashJoin" in p and "LeftAnti" in p,
+            p,
+        )
+    )
+    checks.append(
+        (
+            "MoR scan: clean files bypass the join (Union of plain scan + anti-join branch)",
+            ("Union" in p) == (clean_n > 0),
+            p,
+        )
+    )
     import shutil
 
     shutil.rmtree(wh, ignore_errors=True)
