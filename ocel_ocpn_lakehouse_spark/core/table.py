@@ -183,6 +183,36 @@ class Table:
         # addition (blooms, deletes) null-fill instead of failing the read
         return spark.read.schema(_entries_spark_schema()).parquet(*paths)
 
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg ``table.history`` /
+        ``table.snapshots`` metadata-table analog): one row per snapshot
+        with its lineage and summary. Driver-side metadata — O(#snapshots),
+        bounded by retention."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.operation,
+                json.dumps(s.summary, sort_keys=True, default=str),
+                s.snapshot_id == self.md.current_snapshot_id,
+            )
+            for s in self.md.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "timestamp_ms long, operation string, summary string, is_current boolean",
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Named refs (tags) as a DataFrame (Iceberg ``table.refs``)."""
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(self.md.refs.items())],
+            "name string, snapshot_id long",
+        )
+
     # ---- incremental (changes-between-snapshots) scan ------------------------
     def incremental_entries(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None

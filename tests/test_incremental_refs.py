@@ -89,6 +89,27 @@ def test_tag_scan_and_expiry_protection(spark, warehouse):
     assert t.scan(spark).count() == 70
 
 
+def test_metadata_tables(spark, warehouse):
+    """history_df / refs_df / entries_df — the Iceberg metadata-table
+    surface (table.history, table.refs, table.files)."""
+    _, t = _table(spark, warehouse)
+    t.append(_batch(spark, 20, "b1"), num_files=2)
+    t.create_tag("v1")
+    t.append(_batch(spark, 10, "b2"), num_files=2)
+
+    h = t.history_df(spark).orderBy("sequence_number").collect()
+    assert [r["operation"] for r in h] == ["append", "append"]
+    assert h[-1]["is_current"] and not h[0]["is_current"]
+    assert h[1]["parent_id"] == h[0]["snapshot_id"]
+
+    refs = {r["name"]: r["snapshot_id"] for r in t.refs_df(spark).collect()}
+    assert refs == {"v1": h[0]["snapshot_id"]}
+
+    files = t.entries_df(spark)
+    assert files.count() == len(t.live_entries())
+    assert {"path", "partition", "record_count", "deletes"} <= set(files.columns)
+
+
 def test_rollback_restores_rows_and_keeps_history(spark, warehouse):
     _, t = _table(spark, warehouse)
     b1 = _batch(spark, 40, "b1")
