@@ -484,6 +484,40 @@ def q44_mor_delete(spark, sf_dir):
     return spark.createDataFrame(rows, "step string, n long, ok int")
 
 
+# --- q45: deterministic train/val/test split (oracle-checked cross-engine) ---------------
+
+
+def q45_dataset_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment over documents
+    (functions/sample.py assign_split): the split is a pure function of
+    md5(doc_id || salt), so it is stable across reruns, appends, layout
+    changes — and across ENGINES: DuckDB computes the identical bucket
+    arithmetic, so the oracle checks assignment bit-for-bit, not just
+    rates. Per-(split, lang) counts."""
+    from ..functions.sample import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id", salt="v1")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q45_SQL = """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # --- q39: embedding-cosine near-dup, exact (oracle-checked) ------------------------------
 
 
@@ -607,6 +641,7 @@ QUERIES = {
     "q42_ann_ivf_indexed": q42_ann_ivf_indexed,
     "q43_incremental_mv": q43_incremental_mv,
     "q44_mor_delete": q44_mor_delete,
+    "q45_dataset_split": q45_dataset_split,
 }
 
 ORACLES = {
@@ -618,4 +653,5 @@ ORACLES = {
     "q30_fingerprint": Q30_SQL,
     "q31_doc_length_hist": Q31_SQL,
     "q32_embedding_norms": Q32_SQL,
+    "q45_dataset_split": Q45_SQL,
 }

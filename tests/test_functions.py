@@ -382,3 +382,43 @@ def test_ivf_index_table_prunes_and_matches(spark, tmp_path):
     kept = [e for e in entries if t._entry_matches(e, [PrunePredicate("_p_cell", "in", cells)])]
     assert len(kept) < len(entries), "probe must prune at least one cell's files"
     assert {e.partition["_p_cell"] for e in kept} == cells
+
+
+def test_deterministic_split_and_sampling(spark):
+    """functions/sample.py: split assignment is a pure function of the id
+    (stable under repartition and recomputation), rates land near the
+    weights, threshold sampling is monotone (sample(f1) ⊆ sample(f2) for
+    f1<f2), and exact stratified sampling hits exact per-stratum counts."""
+    from ocel_ocpn_lakehouse_spark.functions.sample import (
+        assign_split,
+        exact_stratified_sample,
+        hash_sample,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id", "concat('doc_', id) doc_id", "cast(id % 7 as string) lang"
+    )
+    a = assign_split(df, "doc_id").select("doc_id", "split")
+    b = assign_split(df.repartition(13), "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    rates = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(rates) == {"train", "val", "test"}
+    assert 0.97 < rates["train"] / 5000 < 0.99
+    assert rates["val"] / 5000 < 0.025 and rates["test"] / 5000 < 0.025
+
+    s10 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.10).select("doc_id").collect()}
+    s25 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).select("doc_id").collect()}
+    assert s10 <= s25
+    assert 0.07 < len(s10) / 5000 < 0.13
+    # a different salt re-rolls membership
+    s10b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.10, salt="v2").select("doc_id").collect()}
+    assert s10 != s10b
+
+    ex = exact_stratified_sample(df, ["lang"], 0.10, "doc_id")
+    got = {r["lang"]: r["n"] for r in ex.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.ceil(F.count("*") * 0.10).alias("n")).collect()}
+    assert got == want
+    # deterministic: same rows every run
+    ex2 = exact_stratified_sample(df, ["lang"], 0.10, "doc_id")
+    assert ex.exceptAll(ex2).count() == 0 and ex2.exceptAll(ex).count() == 0
