@@ -28,10 +28,13 @@ def main(argv=None) -> int:
         default="full",
         choices=[
             "health", "compact", "cluster", "rewrite", "expire", "quality",
-            "full", "synth", "orphans",
+            "full", "synth", "orphans", "delete", "rollback", "tag",
         ],
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    ap.add_argument("--where", default=None, help="SQL predicate for --op delete (MoR)")
+    ap.add_argument("--snapshot-id", type=int, default=None, help="target for --op rollback")
+    ap.add_argument("--name", default=None, help="tag name for --op tag")
     ap.add_argument("--rows", type=int, default=5000, help="synth rows")
     ap.add_argument("--files", type=int, default=64, help="synth fragment files")
     ap.add_argument("--retention-days", type=float, default=None)
@@ -123,6 +126,27 @@ def main(argv=None) -> int:
 
         if args.op == "orphans":
             rep["orphans"] = sweep_orphans(t)
+
+        if args.op == "delete":
+            if not args.where:
+                raise SystemExit("--op delete requires --where '<SQL predicate>'")
+            from .deletes import delete_where
+
+            rep["delete"] = delete_where(
+                spark, t, args.where, sys_tables=sys_tables, table_name=table_name
+            )
+
+        if args.op == "rollback":
+            if args.snapshot_id is None:
+                raise SystemExit("--op rollback requires --snapshot-id")
+            snap = t.rollback_to(args.snapshot_id)
+            rep["rollback"] = {"snapshot_id": snap.snapshot_id, "summary": snap.summary}
+
+        if args.op == "tag":
+            if not args.name:
+                raise SystemExit("--op tag requires --name")
+            sid = t.create_tag(args.name, args.snapshot_id)
+            rep["tag"] = {"name": args.name, "snapshot_id": sid}
 
         if args.op in ("quality", "full"):
             rep["quality"] = quality_report(t.refresh().scan(spark))
