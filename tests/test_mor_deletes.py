@@ -284,6 +284,74 @@ def _dv_files(t):
     return [e.path for e in t.live_entries() if e.deletes]
 
 
+def test_dv_commit_conflicts_with_concurrent_rewrite(spark, warehouse):
+    """A delete planned against files that a concurrent maintenance pass
+    rewrote must FAIL: its positions index rows of files that no longer
+    exist, and committing would tombstone the wrong rows (the same
+    validation direction as Iceberg's position-delete conflict checks)."""
+    import pytest as _pytest
+
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+
+    cat, t = _table(spark, warehouse)
+    victim = next(iter(t.live_entries())).path
+    stale_counts = {victim: 3}
+    # concurrent compaction rewrites every file before the delete commits
+    execute_compaction(spark, t, SystemTables(cat.warehouse), "ocel.images")
+    t = t.refresh()
+    with _pytest.raises(meta.ConflictError):
+        t.commit_delete_vectors("data/_deletes/dv-stale.parquet", stale_counts)
+    # table unharmed
+    assert t.refresh().scan(spark).count() == 300
+
+
+def test_apply_delete_vectors_property():
+    """Arrow-side mask == set difference for arbitrary position sets,
+    including duplicates across stacked DVs (idempotent)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocel_ocpn_lakehouse_spark.core import manifests as mf
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        data=st.data(),
+    )
+    def check(n, data):
+        pos_a = data.draw(st.lists(st.integers(0, n - 1), max_size=n))
+        pos_b = data.draw(st.lists(st.integers(0, n - 1), max_size=n))
+        tbl = pa.table({"v": np.arange(n, dtype=np.int64)})
+        with tempfile.TemporaryDirectory() as d:
+            dva = os.path.join(d, "a.parquet")
+            dvb = os.path.join(d, "b.parquet")
+            pq.write_table(
+                pa.table({"path": ["f.parquet"] * len(pos_a), "pos": pa.array(pos_a, pa.int64())}), dva
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        # second DV also carries another file's positions —
+                        # they must be ignored for f.parquet
+                        "path": ["f.parquet"] * len(pos_b) + ["other.parquet"],
+                        "pos": pa.array(pos_b + [0], pa.int64()),
+                    }
+                ),
+                dvb,
+            )
+            out = mf.apply_delete_vectors(tbl, "f.parquet", [dva, dvb])
+        expect = sorted(set(range(n)) - set(pos_a) - set(pos_b))
+        assert out["v"].to_pylist() == expect
+
+    check()
+
+
 def test_expire_sweeps_orphan_dv_files(spark, warehouse):
     import time
 
