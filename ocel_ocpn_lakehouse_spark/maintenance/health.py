@@ -24,6 +24,8 @@ class HealthReport:
     total_files: int
     total_bytes: int
     total_records: int
+    tombstoned_files: int  # files carrying merge-on-read delete vectors
+    dead_rows: int  # positional-delete tombstones awaiting absorb
     small_files: int
     medium_files: int
     large_files: int
@@ -58,6 +60,19 @@ def analyze_table_health(spark: SparkSession, table: Table, name: str = "") -> H
         F.min("size_bytes").alias("min_b"),
         F.max("size_bytes").alias("max_b"),
         F.avg("size_bytes").alias("avg_b"),
+        F.coalesce(
+            F.sum(F.when(F.coalesce(F.col("deletes"), F.lit("[]")) != "[]", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_tomb"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "coalesce(aggregate(from_json(deletes, "
+                    "'array<struct<path:string,count:bigint>>'), 0L, (a, x) -> a + x.count), 0L)"
+                )
+            ),
+            F.lit(0),
+        ).alias("dead_rows"),
     ).first()
 
     pskew_row = (
@@ -95,12 +110,20 @@ def analyze_table_health(spark: SparkSession, table: Table, name: str = "") -> H
         recs.append("salt: partition row-count skew > 2.0")
     if files and avg_b < small:
         recs.append("compact: avg file size below small-file cutoff")
+    dead = int(agg["dead_rows"] or 0)
+    records = int(agg["records"] or 0)
+    if records and dead / records > 0.05:
+        # tombstone debt: every scan of those files pays the MoR anti-join
+        # and footer stats over-count — absorb via compaction
+        recs.append("compact: >5% rows tombstoned by delete vectors")
 
     return HealthReport(
         table_name=name,
         total_files=files,
         total_bytes=int(agg["bytes"]),
         total_records=int(agg["records"]),
+        tombstoned_files=int(agg["n_tomb"] or 0),
+        dead_rows=dead,
         small_files=int(agg["n_small"]),
         medium_files=int(agg["n_medium"]),
         large_files=int(agg["n_large"]),

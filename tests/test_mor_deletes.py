@@ -91,6 +91,14 @@ def test_delete_where_scan_idempotence_accumulation(spark, warehouse):
     # time travel reads the pre-delete row set
     assert t.scan(spark, snapshot_id=s_pre).count() == 300
 
+    # health surfaces the tombstone debt and recommends the absorb
+    from ocel_ocpn_lakehouse_spark.maintenance.health import analyze_table_health
+
+    h = analyze_table_health(spark, t, "ocel.images")
+    assert h.tombstoned_files > 0
+    assert h.dead_rows == 300 - len(expected2)
+    assert any("tombstoned" in r for r in h.recommendations)
+
 
 def test_compaction_absorbs_delete_vectors(spark, warehouse):
     cat, t = _table(spark, warehouse)
