@@ -463,9 +463,22 @@ def q19_set_ops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast("long")
     )
-    signup = ev.filter(F.col("event_type") == "signup").select("user_id", "day").distinct()
-    error = ev.filter(F.col("event_type") == "error").select("user_id", "day").distinct()
-    return signup.subtract(error)
+    # EXCEPT re-expressed as one scan + one aggregation: a (user, day) pair
+    # survives iff it has a signup and no error. The naive two-branch
+    # subtract plan scans events twice and shuffles three times (distinct,
+    # distinct, except); this shape shuffles ONCE with map-side partial
+    # aggregation and pushes event_type IN (...) into the parquet scan —
+    # at 100 TB that is the difference between one pass and three.
+    return (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.col("event_type") == "signup").alias("_s"),
+            F.max(F.col("event_type") == "error").alias("_e"),
+        )
+        .filter(F.col("_s") & ~F.col("_e"))
+        .select("user_id", "day")
+    )
 
 
 Q19_SQL = """
