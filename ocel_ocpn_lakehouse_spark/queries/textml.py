@@ -518,6 +518,77 @@ FROM b GROUP BY 1, 2
 """
 
 
+# --- q46: end-to-end curation pipeline (quality gate → dedup → split), oracle-checked ----
+
+
+def q46_curation_pipeline(spark, sf_dir):
+    """The canonical training-data curation flow as ONE Catalyst plan:
+    quality-score every document (q29's oracle-verified features), keep
+    quality ≥ 70, exact-dedup on the canonical md5 fingerprint (q30)
+    keeping the lowest doc_id per group, then assign deterministic
+    train/val/test splits (q45) — reported as per-(split, lang) counts.
+    Every stage is cross-engine exact, so the DuckDB oracle verifies the
+    COMPOSITION end to end. One scan, two shuffles (dedup group, final
+    group); quality features and split hashing are pure column exprs
+    inside whole-stage codegen."""
+    from ..functions.sample import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        X.quality_score(F.col("text")).cast("double").alias("quality"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = feats.filter(F.col("quality") >= 70.0)
+    first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(first, ["fp", "doc_id"])
+    return (
+        assign_split(deduped, "doc_id", salt="v1")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q46_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g')) AS n_alnum,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), d AS (
+  SELECT doc_id, lang, fp, len(toks) AS n_tokens,
+         len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop,
+         CASE WHEN n_chars > 0 THEN (n_chars - n_alnum) * 1.0 / n_chars ELSE 0 END AS punct
+  FROM feats
+), q AS (
+  SELECT doc_id, lang, fp,
+         CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40.0 WHEN n_tokens >= 5 THEN 20.0 ELSE 0.0 END
+         + CASE WHEN n_tokens > 0 AND n_stop * 1.0 / n_tokens BETWEEN 0.02 AND 0.6 THEN 30.0 ELSE 10.0 END
+         + CASE WHEN punct <= 0.2 THEN 30.0 ELSE 5.0 END AS quality
+  FROM d
+), kept AS (
+  SELECT * FROM q WHERE quality >= 70
+), dedup AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+), dd AS (
+  SELECT k.doc_id, k.lang
+  FROM kept k JOIN dedup x ON k.fp = x.fp AND k.doc_id = x.doc_id
+), b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM dd
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # --- q39: embedding-cosine near-dup, exact (oracle-checked) ------------------------------
 
 
@@ -642,6 +713,7 @@ QUERIES = {
     "q43_incremental_mv": q43_incremental_mv,
     "q44_mor_delete": q44_mor_delete,
     "q45_dataset_split": q45_dataset_split,
+    "q46_curation_pipeline": q46_curation_pipeline,
 }
 
 ORACLES = {
@@ -654,4 +726,5 @@ ORACLES = {
     "q31_doc_length_hist": Q31_SQL,
     "q32_embedding_norms": Q32_SQL,
     "q45_dataset_split": Q45_SQL,
+    "q46_curation_pipeline": Q46_SQL,
 }
