@@ -131,6 +131,27 @@ def test_cluster_absorbs_delete_vectors(spark, warehouse):
     assert sum(e.record_count for e in live) == want["_n"]
 
 
+def test_cluster_distributed_planning_absorbs_dvs(spark, warehouse):
+    """The distributed cluster planner builds each file's DV reference with
+    SQL JSON expressions over entries_df (no driver manifests); forced
+    distributed planning on a tombstoned table must produce the same rows
+    and a clean layout, like the driver planner."""
+    cat, t = _table(spark, warehouse)
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    want = checksum(t.scan(spark))
+
+    r = execute_cluster(
+        spark, t, SystemTables(cat.warehouse), "ocel.images",
+        curve="zorder", planning="distributed",
+    )
+    assert r["status"] == "committed"
+    t = t.refresh()
+    assert all(not e.deletes for e in t.live_entries())
+    assert checksum(t.scan(spark)) == want
+    assert sum(e.record_count for e in t.live_entries()) == want["_n"]
+
+
 def test_merge_on_tombstoned_table_never_resurrects(spark, warehouse):
     cat, t = _table(spark, warehouse)
     # tombstone a slice that overlaps files the merge will touch
