@@ -267,6 +267,28 @@ def test_mor_merge_matches_cow_and_rewrites_nothing(spark, warehouse):
     src.unpersist()
 
 
+def test_partition_evolution_absorbs_dvs(spark, warehouse):
+    """evolve_partition_spec rewrites through Table.scan, which applies
+    tombstones — the rebucketed table must hold exactly the live rows and
+    come out clean."""
+    from ocel_ocpn_lakehouse_spark.core import PartitionSpec
+    from ocel_ocpn_lakehouse_spark.maintenance.evolve import evolve_partition_spec
+
+    cat, t = _table(spark, warehouse)
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    want = checksum(t.scan(spark))
+
+    res = evolve_partition_spec(
+        spark, t, PartitionSpec.bucket("image_id", 4), SystemTables(cat.warehouse), "ocel.images"
+    )
+    assert res["status"] == "rewritten"
+    t = t.refresh()
+    assert all(not e.deletes for e in t.live_entries())
+    assert checksum(t.scan(spark)) == want
+    assert {e.partition.get("_p_image_id_bucket") for e in t.live_entries()} <= {0, 1, 2, 3}
+
+
 def test_planner_parity_with_tombstones(spark, warehouse):
     _, t = _table(spark, warehouse)
     delete_where(spark, t, "w = 32")
