@@ -486,6 +486,15 @@ contention waves — see calibration).
   cluster {json.dumps(small.get('cluster_phases', {}))}; local[{n_large}] compact {json.dumps(large.get('compact_phases', {}))},
   cluster {json.dumps(large.get('cluster_phases', {}))}
 
+Reading `*_task_totals` (summed task-seconds inside the Arrow workers):
+on identical bytes they INFLATE at {n_large} cores vs {n_small} while
+wall time shrinks — each task runs slower when {n_large} single-threaded
+Arrow read/sort/write loops contend for memory bandwidth, which is the
+same per-vCPU throttling the memcpy calibration measures. Task counts
+and wave math are already ideal (map = file slices, reduce = one task
+per output file); the residual efficiency gap lives inside the tasks,
+not in the plan.
+
 ## Fused single-pass rewrite (`--op rewrite`)
 
 The cluster rewrite emits ≈target-size files per range bucket, so running
