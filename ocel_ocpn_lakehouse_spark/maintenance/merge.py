@@ -274,6 +274,7 @@ def merge_into(
     table_name: str = "",
     planning: str = "auto",  # auto | driver | distributed
     strategy: str | None = None,  # cow | mor (default: table write.merge.mode, else cow)
+    extra_summary: dict | None = None,  # merged into the commit summary (e.g. stream epoch)
 ) -> dict:
     t0 = time.time()
     strategy = (strategy or table.properties.get("write.merge.mode", "cow")).lower()
@@ -472,7 +473,11 @@ def merge_into(
                 counts,
                 added_entries=new_entries,
                 operation="merge",
-                summary={"source-rows": n_src, "strategy": "merge-on-read"},
+                summary={
+                    "source-rows": n_src,
+                    "strategy": "merge-on-read",
+                    **(extra_summary or {}),
+                },
             )
             return {
                 "status": "committed",
@@ -539,7 +544,11 @@ def merge_into(
             {e.path for e in touched_entries},
             new_entries,
             operation="merge",
-            summary={"source-rows": n_src, "touched-files": len(touched_entries)},
+            summary={
+                "source-rows": n_src,
+                "touched-files": len(touched_entries),
+                **(extra_summary or {}),
+            },
         )
         dur_ms = int((time.time() - t0) * 1000)
         if sys_tables:

@@ -136,3 +136,61 @@ def test_streaming_ingest_then_maintenance_e2e(spark, tmp_path):
     for s in t.snapshots():
         if "stream-epoch" in s.summary:
             assert t.scan(spark, snapshot_id=s.snapshot_id).count() > 0
+
+
+def test_stream_upserts_cdc_exactly_once_mor(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch is a MoR MERGE (tombstones +
+    upsert appends in one snapshot carrying the stream epoch), replays are
+    skipped whole, and pre-merge data files are never rewritten."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.streaming import stream_upserts
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_cdc")
+    cat = Catalog(str(tmp_path / "wh_cdc"))
+    st = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cdc_schema = T.StructType(list(st.fields) + [T.StructField("_op", T.StringType())])
+    t = cat.create_table("ns.cdc", st, TableSpec(partition_spec=PartitionSpec.bucket("id", 2)))
+    t.append(spark.range(0, 100).select("id", F.lit("a").alias("v")), num_files=4)
+    base_files = {e.path for e in t.live_entries()}
+
+    # batch: update ids 0-9 to 'b', delete ids 90-94, insert 200-204
+    upd = spark.range(0, 10).select("id", F.lit("b").alias("v"), F.lit("upsert").alias("_op"))
+    dele = spark.range(90, 95).select("id", F.lit("").alias("v"), F.lit("delete").alias("_op"))
+    ins = spark.range(200, 205).select("id", F.lit("n").alias("v"), F.lit("upsert").alias("_op"))
+    upd.unionByName(dele).unionByName(ins).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+
+    n = stream_upserts(spark, t, str(src / "*"), cdc_schema, ckpt, key="id", stream_id="cdc1")
+    assert n == 1
+    t = t.refresh()
+    got = {r["id"]: r["v"] for r in t.scan(spark).collect()}
+    assert len(got) == 100 - 5 + 5
+    assert all(got[i] == "b" for i in range(10))
+    assert all(i not in got for i in range(90, 95))
+    assert all(got[i] == "n" for i in range(200, 205))
+    # MoR: every pre-merge file still live (tombstoned, not rewritten)
+    assert base_files <= {e.path for e in t.live_entries()}
+    snap = t.current_snapshot()
+    assert snap.operation == "merge" and snap.summary["stream-id"] == "cdc1"
+
+    # replay the same drain: epoch guard skips it, no new snapshot
+    n_snaps = len(t.snapshots())
+    n2 = stream_upserts(spark, t, str(src / "*"), cdc_schema, ckpt, key="id", stream_id="cdc1")
+    assert n2 == 0 and len(t.refresh().snapshots()) == n_snaps
+
+    # a second CDC batch arrives → one more merge, applied on top
+    spark.range(0, 5).select(
+        "id", F.lit("c").alias("v"), F.lit("delete").alias("_op")
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    n3 = stream_upserts(spark, t, str(src / "*"), cdc_schema, ckpt, key="id", stream_id="cdc1")
+    assert n3 == 1
+    t = t.refresh()
+    got2 = {r["id"]: r["v"] for r in t.scan(spark).collect()}
+    assert all(i not in got2 for i in range(5)) and got2[5] == "b"
+    assert len(got2) == len(got) - 5
