@@ -44,7 +44,6 @@ import uuid
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import manifests as mf
 from ..core.table import PrunePredicate, Table
 from .checkpoint import SystemTables
 

@@ -389,6 +389,7 @@ def main() -> int:
     with open(hist_path, "a") as f:
         f.write(json.dumps({
             "ts": int(time.time()), "rows": small["rows"],
+            "n_small": n_small, "n_large": n_large,
             "efficiency": round(efficiency, 3),
             "cpu_ceiling_eff": cal["ceiling_efficiency"],
             "copy_ceiling_eff": cal["copy_ceiling_efficiency"],
@@ -411,11 +412,13 @@ def main() -> int:
     best = max(clean, key=lambda h: h["fused_efficiency"]) if clean else None
     if best is not None:
         bind = max(min(best["cpu_ceiling_eff"], best["copy_ceiling_eff"]), 1e-9)
+        # history rows predating the config fields were all 4→16
+        b_small, b_large = best.get("n_small", 4), best.get("n_large", 16)
         north_md = f"""
 ## North-rule status
 
 **Best clean full-protocol measurement: fused rewrite scaling efficiency
-{best['fused_efficiency']:.2f}** ({n_small}→{n_large} cores,
+{best['fused_efficiency']:.2f}** ({b_small}→{b_large} cores,
 {best.get('fused_small', '?')} → {best.get('fused_large', '?')} images/s;
 {'ABOVE' if best['fused_efficiency'] >= 0.8 else 'below'} the ≥0.8 gate) —
 run ts={best['ts']}, same-run host ceilings CPU {best['cpu_ceiling_eff']:.2f}
@@ -441,8 +444,9 @@ denominator (see variance).
 ## Run-to-run variance (full-protocol reruns; BENCH/runs_history.jsonl)
 
 The hypervisor's deliverable parallelism swings between runs. {len(hist)}
-complete interleaved best-of-N runs measured job scaling efficiency
-{", ".join(f"{h['efficiency']:.2f}" for h in hist)} — against same-run CPU
+complete interleaved best-of-N runs (4→16 cores unless suffixed with
+their N→4N config) measured job scaling efficiency
+{", ".join(f"{h['efficiency']:.2f}" + (f" @{h['n_small']}→{h['n_large']}" if h.get('n_small', 4) != 4 else "") for h in hist)} — against same-run CPU
 ceilings of {", ".join(f"{h['cpu_ceiling_eff']:.2f}" for h in hist)} and copy
 ceilings of {", ".join(f"{h['copy_ceiling_eff']:.2f}" for h in hist)}. The
 job's efficiency relative to the weaker (binding) same-run ceiling,
