@@ -280,10 +280,11 @@ class Table:
         entries = self.incremental_entries(from_snapshot_id, to_snapshot_id)
         schema = self.schema
         if not entries:
-            return spark.createDataFrame([], schema=schema)
-        paths = [os.path.join(self.root, e.path) for e in entries]
-        df = spark.read.schema(schema).parquet(*paths)
-        if columns:
+            df = spark.createDataFrame([], schema=schema)
+        else:
+            paths = [os.path.join(self.root, e.path) for e in entries]
+            df = spark.read.schema(schema).parquet(*paths)
+        if columns:  # projection applies on the empty delta too
             df = df.select(*columns)
         return df
 
@@ -646,29 +647,50 @@ class Table:
         summary: dict | None = None,
         added_entries: list[mf.ManifestEntry] | None = None,
         operation: str = "delete",
+        expected_dv_counts: dict[str, int] | None = None,
     ) -> meta.Snapshot:
         """Commit a merge-on-read positional-delete: every touched data file's
         manifest entry gains a reference to ``dv_rel_path`` (Iceberg v2
         delete-file semantics — data files are untouched; readers anti-join
         the tombstones, maintenance rewrites absorb them). Fails with
         ConflictError if a touched file was concurrently rewritten — its
-        positions would index the wrong rows. ``added_entries`` lets a MoR
-        MERGE land its upsert files in the SAME snapshot as the tombstones
-        (atomicity: readers see old rows disappear and new rows appear
-        together, never one without the other)."""
+        positions would index the wrong rows — or, when
+        ``expected_dv_counts`` (path → #DVs the planner observed) is given,
+        if a touched file gained a tombstone set since planning: the
+        planner's already-deleted exclusion ran against the old DVs, so
+        committing could double-count rows both deletes matched.
+        ``added_entries`` lets a MoR MERGE land its upsert files in the
+        SAME snapshot as the tombstones (atomicity: readers see old rows
+        disappear and new rows appear together, never one without the
+        other). A pure-insert commit (empty ``counts_by_path``) is legal on
+        an empty table — the first CDC upsert batch into a fresh table."""
 
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1
             snap = md.current_snapshot()
-            if snap is None:
+            if snap is None and counts_by_path:
                 raise ValueError("cannot delete from an empty table")
-            current = mf.read_manifests(self.metadata_dir, snap.manifests)
+            current = (
+                mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
+            )
             gone = set(counts_by_path) - {e.path for e in current}
             if gone:
                 raise meta.ConflictError(
                     f"{len(gone)} tombstoned file(s) were concurrently rewritten; "
                     f"replan the delete: {sorted(gone)[:3]}..."
                 )
+            if expected_dv_counts is not None:
+                stale = [
+                    e.path
+                    for e in current
+                    if e.path in counts_by_path
+                    and len(e.deletes) != expected_dv_counts.get(e.path, 0)
+                ]
+                if stale:
+                    raise meta.ConflictError(
+                        f"{len(stale)} file(s) gained tombstones since this delete "
+                        f"was planned (concurrent delete); replan: {sorted(stale)[:3]}..."
+                    )
             for e in current:
                 n = counts_by_path.get(e.path)
                 if n:

@@ -143,7 +143,13 @@ def delete_where(
     if rel_dv is None:
         return {"status": "no-matches", "deleted_rows": 0, "sec": round(time.time() - t0, 3)}
 
-    commit = table.commit_delete_vectors(rel_dv, counts)
+    commit = table.commit_delete_vectors(
+        rel_dv,
+        counts,
+        # the already-tombstoned exclusion ran against THESE DV sets; a file
+        # that gained a DV since must conflict, not double-count
+        expected_dv_counts={e.path: len(e.deletes) for e in entries},
+    )
     result = {
         "status": "deleted",
         "deleted_rows": int(sum(counts.values())),

@@ -285,6 +285,19 @@ def merge_into(
     src = source.select(*data_cols, op_col).cache()
     try:
         n_src = src.count()
+        # an unknown op (e.g. Debezium's 'insert'/'update') would silently
+        # behave as a delete — every source key tombstones its target rows
+        # and only op=='upsert' rows are re-inserted. Fail loudly instead.
+        bad_ops = [
+            r[0]
+            for r in src.select(op_col).distinct().collect()
+            if r[0] not in ("upsert", "delete")
+        ]
+        if bad_ops:
+            raise ValueError(
+                f"unknown {op_col} value(s) {bad_ops!r}: MERGE understands "
+                "'upsert' and 'delete' only"
+            )
 
         # --- 1+2: find touched files (bucket-pruned probe, broadcast keys)
         # small/medium sources collect the distinct keys ONCE; the list
@@ -478,6 +491,7 @@ def merge_into(
                     "strategy": "merge-on-read",
                     **(extra_summary or {}),
                 },
+                expected_dv_counts={e.path: len(e.deletes) for e in touched_entries},
             )
             return {
                 "status": "committed",

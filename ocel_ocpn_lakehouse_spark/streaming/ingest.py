@@ -24,6 +24,46 @@ def _committed_epochs(table: Table, stream_id: str) -> set[int]:
     return out
 
 
+def _drain_exactly_once(
+    spark: SparkSession,
+    table: Table,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    stream_id: str,
+    max_files_per_trigger: int | None,
+    apply_batch,
+) -> int:
+    """Shared exactly-once scaffold: readStream → foreachBatch with the
+    epoch guard → availableNow drain. ``apply_batch(batch_df, epoch_id)``
+    must COMMIT the batch with the stream-id/epoch markers riding in the
+    snapshot summary (atomic with the row changes). Returns the number of
+    batches committed this run."""
+    committed = {"n": 0}
+
+    def sink(batch_df, epoch_id: int) -> None:
+        table.refresh()
+        if epoch_id in _committed_epochs(table, stream_id):
+            return  # replayed batch after restart — already committed
+        if batch_df.isEmpty():
+            return
+        apply_batch(batch_df, int(epoch_id))
+        committed["n"] += 1
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed["n"]
+
+
 def stream_append(
     spark: SparkSession,
     table: Table,
@@ -36,32 +76,17 @@ def stream_append(
     """Drain all available files from source_dir into the table
     (trigger=availableNow), one snapshot per micro-batch, exactly-once.
     Returns the number of batches committed this run."""
-    committed = {"n": 0}
 
-    def sink(batch_df, epoch_id: int) -> None:
-        table.refresh()
-        if epoch_id in _committed_epochs(table, stream_id):
-            return  # replayed batch after restart — already committed
-        if batch_df.isEmpty():
-            return
+    def apply_batch(batch_df, epoch_id: int) -> None:
         entries = table.write_data_files(batch_df)
         table.commit_append(
-            entries, extra_summary={"stream-id": stream_id, "stream-epoch": int(epoch_id)}
+            entries, extra_summary={"stream-id": stream_id, "stream-epoch": epoch_id}
         )
-        committed["n"] += 1
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain_exactly_once(
+        spark, table, source_dir, schema, checkpoint_dir, stream_id,
+        max_files_per_trigger, apply_batch,
     )
-    q.awaitTermination()
-    return committed["n"]
 
 
 def stream_upserts(
@@ -90,14 +115,7 @@ def stream_upserts(
     dead-row ratio says when). Returns the number of merges committed."""
     from ..maintenance.merge import merge_into
 
-    committed = {"n": 0}
-
-    def sink(batch_df, epoch_id: int) -> None:
-        table.refresh()
-        if epoch_id in _committed_epochs(table, stream_id):
-            return  # replayed batch after restart — already committed
-        if batch_df.isEmpty():
-            return
+    def apply_batch(batch_df, epoch_id: int) -> None:
         merge_into(
             spark,
             table,
@@ -105,19 +123,10 @@ def stream_upserts(
             key=key,
             op_col=op_col,
             strategy=strategy,
-            extra_summary={"stream-id": stream_id, "stream-epoch": int(epoch_id)},
+            extra_summary={"stream-id": stream_id, "stream-epoch": epoch_id},
         )
-        committed["n"] += 1
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain_exactly_once(
+        spark, table, source_dir, schema, checkpoint_dir, stream_id,
+        max_files_per_trigger, apply_batch,
     )
-    q.awaitTermination()
-    return committed["n"]

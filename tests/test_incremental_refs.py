@@ -149,6 +149,9 @@ def test_incremental_scan_is_exactly_the_appended_rows(spark, warehouse):
     empty = t.incremental_scan(spark, from_snapshot_id=head)
     assert empty.count() == 0
     assert empty.schema == t.schema
+    # projection applies on the empty delta too (unionByName-safe)
+    empty_proj = t.incremental_scan(spark, from_snapshot_id=head, columns=["image_id"])
+    assert empty_proj.columns == ["image_id"] and empty_proj.count() == 0
 
     # unknown / expired start snapshot → not incrementally readable
     with pytest.raises(IncrementalScanError):

@@ -335,6 +335,63 @@ def _dv_files(t):
     return [e.path for e in t.live_entries() if e.deletes]
 
 
+def test_mor_merge_pure_insert_into_empty_table(spark, warehouse):
+    """First CDC batch into a fresh table: a merge-on-read MERGE with only
+    upserts and ZERO existing snapshots must commit (no tombstones, just
+    the appended files) instead of crashing on the empty-table guard."""
+    cat, _ = _table(spark, warehouse)
+    t = cat.create_table(
+        "ocel.fresh",
+        IMAGE_SCHEMA,
+        TableSpec(partition_spec=PartitionSpec.bucket("image_id", 2), properties=PROPS),
+    )
+    src = synth_images_df(spark, n_rows=20, seed=3).withColumn("_op", F.lit("upsert"))
+    r = merge_into(spark, t, src, strategy="mor")
+    assert r["status"] == "committed" and r["files_added"] > 0
+    t = t.refresh()
+    assert t.scan(spark).count() == 20
+    assert t.current_snapshot().operation == "merge"
+
+
+def test_merge_rejects_unknown_op_values(spark, warehouse):
+    """A CDC feed speaking Debezium vocabulary ('insert'/'update') must
+    fail loudly — treating unknown ops as deletes would silently drop
+    matched target rows."""
+    import pytest as _pytest
+
+    _, t = _table(spark, warehouse)
+    src = synth_images_df(spark, n_rows=5, seed=4).withColumn("_op", F.lit("update"))
+    with _pytest.raises(ValueError, match="unknown _op"):
+        merge_into(spark, t, src)
+    assert t.refresh().scan(spark).count() == 300  # untouched
+
+
+def test_dv_commit_conflicts_with_stale_tombstone_set(spark, warehouse):
+    """Two overlapping deletes planned against the same DV state: the
+    second commit must CONFLICT (its already-deleted exclusion ran against
+    the old tombstones — committing would double-count rows both matched
+    and corrupt per-file live counts)."""
+    import pytest as _pytest
+
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+
+    _, t = _table(spark, warehouse)
+    # plan state observed BEFORE any tombstones
+    planned = {e.path: len(e.deletes) for e in t.live_entries()}
+    victim = next(iter(planned))
+    # a concurrent delete lands first
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+    tombstoned = {e.path for e in t.live_entries() if e.deletes}
+    target = victim if victim in tombstoned else next(iter(tombstoned))
+    with _pytest.raises(meta.ConflictError, match="gained tombstones"):
+        t.commit_delete_vectors(
+            "data/_deletes/dv-stale2.parquet",
+            {target: 1},
+            expected_dv_counts=planned,
+        )
+
+
 def test_dv_commit_conflicts_with_concurrent_rewrite(spark, warehouse):
     """A delete planned against files that a concurrent maintenance pass
     rewrote must FAIL: its positions index rows of files that no longer
