@@ -43,9 +43,42 @@ BENCH_QUERIES = [
     "q29_text_quality",
     "q36_conformance",
     "q38_ocpn_arcs",
-    "q39_embedding_neardup",  # exact O(n^2) audit baseline — deliberately quadratic
-    "q40_embedding_neardup_lsh",  # the banded-LSH scale path over the same embeddings
+    # q39_embedding_neardup (exact O(n²) audit baseline) is deliberately
+    # quadratic and belongs in BENCH/QUERY_ENVELOPE.md, not the headline
+    # timings — its wall time says nothing about the scale path. Its oracle
+    # still runs in the driver's correctness gate.
+    "q40_embedding_neardup_lsh",  # the banded-LSH scale path over the embeddings
 ]
+
+
+def _host_busy_fraction(window_s: float = 1.5) -> float:
+    """CPU busy share from /proc/stat deltas (loadavg reports phantom load
+    on this kernel — see tools/scaling_bench.py)."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(window_s)
+    i1, t1 = snap()
+    dt = max(1, t1 - t0)
+    return 1.0 - (i1 - i0) / dt
+
+
+def _settle(threshold: float = 0.20, timeout_s: float = 45.0) -> float:
+    """Block until the host quiets down. The round-2 verdict's headline
+    defect was query timings taken while the maintenance phase still had
+    the memory bus saturated — 2-7× inflation on contended runs."""
+    t0 = time.time()
+    busy = _host_busy_fraction()
+    while busy > threshold and time.time() - t0 < timeout_s:
+        time.sleep(1.0)
+        busy = _host_busy_fraction()
+    return busy
 
 
 def _fragmented_table(spark, wh: str, n_rows: int, n_files: int):
@@ -162,14 +195,28 @@ def main() -> int:
 
     maint = image_maintenance_bench(spark, n_rows, n_files=max(16, n_rows // 125), cpus=cpus)
 
+    # the maintenance workload saturates the memory bus; gate the query
+    # section on host idleness + one warm run per query, then best-of-3
+    # (the protocol tools/query_envelope_bench.py and scaling_bench.py
+    # already use — adopted here per the round-2 verdict)
+    settled_busy = _settle()
     queries = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        fn(spark, sf_dir).count()  # warm: codegen, file listing, worker spawn
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     out = {
+        "query_protocol": {
+            "timing": "warm run + best-of-3",
+            "settled_busy_frac": round(settled_busy, 3),
+        },
         "metric": "compact+cluster throughput (images/sec) with scan-equivalence",
         "value": maint["images_per_sec"],
         "unit": "images/sec",

@@ -259,11 +259,14 @@ def build_bloom(values, fpp: float = 0.001) -> dict | None:
     m = min(BLOOM_MAX_BITS, max(64, int(-n * math.log(fpp) / (math.log(2) ** 2))))
     k = max(1, min(16, round(m / n * math.log(2))))
     bits = np.zeros(m, dtype=bool)
-    mask = (1 << 64) - 1  # wrap exactly like the probe's uint64 arithmetic
-    for v in vals:
-        h1, h2 = _bloom_hash_pair(v)
-        for i in range(k):
-            bits[((h1 + i * h2) & mask) % m] = True
+    # one fancy-index assignment instead of n×k interpreted iterations (at
+    # the BLOOM_MAX_BITS cap that loop was ~1M steps per column per output
+    # file, dominating small rewrite tasks); uint64 (+, *) wrap exactly like
+    # the probe's arithmetic in bloom_any_contains
+    hp = bloom_key_hashes(vals)  # (n, 2) uint64 — blake2b once per value
+    with np.errstate(over="ignore"):
+        idx = (hp[:, :1] + np.arange(k, dtype=np.uint64) * hp[:, 1:]) % np.uint64(m)
+    bits[idx.ravel()] = True
     return {"m": int(m), "k": int(k), "b64": base64.b64encode(np.packbits(bits).tobytes()).decode()}
 
 

@@ -15,6 +15,8 @@ import json
 import os
 import shutil
 import uuid
+
+import pyarrow.parquet as pq
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -36,6 +38,16 @@ STAGING_DIR = "_staging"
 ROW_PRESERVING_OPS = frozenset({"replace"})
 
 
+# MoR scans broadcast the tombstone side only below this on-disk size; the
+# 10^12-row design point can accumulate GB-scale DV sets between compactions,
+# which must shuffle-join instead of landing on every executor.
+DV_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+# path-list reads build a driver-side file index; cap how many paths a single
+# reader sees so very large scans grow the index in bounded steps
+SCAN_READ_BATCH = 100_000
+
+
 class IncrementalScanError(RuntimeError):
     """The requested snapshot range is not expressible as an append-only
     delta (an overwrite/merge/rollback commit intervened, or the start
@@ -54,6 +66,33 @@ class PrunePredicate:
     column: str
     op: str  # '=', '<', '<=', '>', '>=', 'in'
     value: object
+
+
+def entry_matches(e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
+    """File-level pruning verdict for one manifest entry: partition values,
+    min/max bounds, and (for '='/'in') the per-file Bloom filter. Module-
+    level so the distributed scan planner can ship it to executors without
+    pickling the Table."""
+    for p in preds:
+        if p.column in e.partition:
+            pv = e.partition[p.column]
+            if p.op == "=" and pv != p.value:
+                return False
+            if p.op == "in" and pv not in p.value:
+                return False
+            continue
+        lo = e.lower_bounds.get(p.column)
+        hi = e.upper_bounds.get(p.column)
+        if not _bounds_overlap(p, lo, hi):
+            return False
+        # membership predicates also consult the file's Bloom filter
+        # (prunes point lookups on ANY layout; absence = might-contain)
+        bloom = e.blooms.get(p.column)
+        if bloom and p.op in ("=", "in"):
+            vals = p.value if p.op == "in" else [p.value]
+            if not mf.bloom_any_contains(bloom, mf.bloom_key_hashes(vals)):
+                return False
+    return True
 
 
 def _bounds_overlap(pred: PrunePredicate, lower, upper) -> bool:
@@ -304,31 +343,114 @@ class Table:
         per-file min/max bounds eliminate files (the engine-side version of
         Iceberg scan planning; Parquet row-group pushdown still applies
         afterwards inside Spark's reader).
+
+        Above ``scan.plan-distributed-threshold`` entries (10^4 default,
+        counted from manifest FOOTERS — no entry is read to decide) the
+        pruning itself runs as a Spark job over ``entries_df``: the driver
+        never materializes a ManifestEntry for a pruned-out file and holds
+        only the surviving (path, deletes) pairs — the minimum a path-list
+        read can carry. Very large surviving sets are read in bounded
+        unions so no single InMemoryFileIndex sees a 10^6-path burst.
         """
-        entries = self.live_entries(snapshot_id, as_of_ms, ref)
-        if prune:
-            entries = [e for e in entries if self._entry_matches(e, prune)]
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         schema = self.schema
-        clean = [e for e in entries if not e.deletes]
-        dirty = [e for e in entries if e.deletes]
-        if not entries:
+        if snap is None or not snap.manifests:
+            df = spark.createDataFrame([], schema=schema)
+            return df.select(*columns) if columns else df
+        n_entries = sum(
+            pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
+            for m in snap.manifests
+        )
+        if n_entries > self.prop_int("scan.plan-distributed-threshold", 10_000):
+            pairs = self._plan_scan_distributed(spark, snap, prune)
+        else:
+            entries = mf.read_manifests(self.metadata_dir, snap.manifests)
+            if prune:
+                entries = [e for e in entries if entry_matches(e, prune)]
+            pairs = [(e.path, e.deletes) for e in entries]
+        clean_paths = [p for p, d in pairs if not d]
+        # _scan_with_deletes needs only (path, deletes) — lightweight
+        # entries keep the MoR path identical under both planners
+        dirty = [
+            mf.ManifestEntry(path=p, partition={}, size_bytes=0, record_count=0, deletes=d)
+            for p, d in pairs
+            if d
+        ]
+        if not pairs:
             df = spark.createDataFrame([], schema=schema)
         elif not dirty:
-            paths = [os.path.join(self.root, e.path) for e in entries]
-            df = spark.read.schema(schema).parquet(*paths)
+            df = self._read_paths(spark, schema, clean_paths)
         else:
             # merge-on-read: files with positional delete vectors anti-join
             # their (file, pos) tombstones via Spark's _metadata columns;
             # clean files union in untouched — they never pay the join.
-            df = self._scan_with_deletes(spark, clean, dirty, schema)
+            df = self._scan_with_deletes(spark, clean_paths, dirty, schema)
         if columns:
             df = df.select(*columns)
         return df
 
+    def _read_paths(
+        self, spark: SparkSession, schema: T.StructType, rel_paths: list[str]
+    ) -> DataFrame:
+        """One reader for ≤SCAN_READ_BATCH paths; bounded unions beyond —
+        Spark's file index (listing, driver-side FileStatus array) then
+        grows in steps instead of one 10^6-element spike."""
+        paths = [os.path.join(self.root, p) for p in rel_paths]
+        if len(paths) <= SCAN_READ_BATCH:
+            return spark.read.schema(schema).parquet(*paths)
+        df = None
+        for i in range(0, len(paths), SCAN_READ_BATCH):
+            part = spark.read.schema(schema).parquet(*paths[i : i + SCAN_READ_BATCH])
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    def _plan_scan_distributed(
+        self,
+        spark: SparkSession,
+        snap: meta.Snapshot,
+        prune: Sequence[PrunePredicate] | None,
+    ) -> list[tuple[str, list]]:
+        """Manifest pruning as a Spark job: entries stream through executors
+        (Arrow-batched), `entry_matches` — the SAME verdict the driver path
+        uses, partition + bounds + bloom — filters there, and only surviving
+        (path, deletes) pairs come back. Driver memory is O(survivors), not
+        O(#files); a point-lookup on a 10^7-file table collects a handful of
+        rows."""
+        mpaths = [os.path.join(self.metadata_dir, m) for m in snap.manifests]
+        edf = spark.read.schema(_entries_spark_schema()).parquet(*mpaths)
+        preds = list(prune) if prune else []
+
+        def _prune_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                keep_p, keep_d = [], []
+                for r in pdf.to_dict("records"):
+                    if preds:
+                        e = mf.ManifestEntry.from_row(
+                            {
+                                **r,
+                                "partition": r["partition"] or "{}",
+                                "lower_bounds": r["lower_bounds"] or "{}",
+                                "upper_bounds": r["upper_bounds"] or "{}",
+                                "null_counts": r["null_counts"] or "{}",
+                                "blooms": r["blooms"] or "{}",
+                                "deletes": r["deletes"] or "[]",
+                            }
+                        )
+                        if not entry_matches(e, preds):
+                            continue
+                    keep_p.append(r["path"])
+                    keep_d.append(r["deletes"] or "[]")
+                yield pd.DataFrame({"path": keep_p, "deletes": keep_d})
+
+        rows = edf.mapInPandas(_prune_batches, "path string, deletes string").collect()
+        return [(r["path"], json.loads(r["deletes"])) for r in rows]
+
     def _scan_with_deletes(
         self,
         spark: SparkSession,
-        clean: list[mf.ManifestEntry],
+        clean_paths: list[str],
         dirty: list[mf.ManifestEntry],
         schema: T.StructType,
     ) -> DataFrame:
@@ -358,36 +480,26 @@ class Table:
             F.concat(F.lit(f"file:{self.root}{os.sep}"), F.col("path")).alias("_fp"),
             F.col("pos").alias("_pos"),
         )
-        n_dv = sum(int(d.get("count", 0)) for e in dirty for d in e.deletes)
-        if n_dv <= 5_000_000:
+        # broadcast by estimated BYTES, not row count: 5M rows of long paths
+        # is a multi-hundred-MB payload shipped to every executor. The DV
+        # parquet footprint on disk is a cheap, conservative proxy (in-memory
+        # rows inflate ~2-4×, so 64 MB on disk stays well under executor
+        # broadcast budgets); above it, AQE picks the shuffle-join strategy.
+        dv_bytes = 0
+        for p in dv_rel:
+            try:
+                dv_bytes += os.path.getsize(os.path.join(self.root, p))
+            except OSError:
+                dv_bytes += DV_BROADCAST_MAX_BYTES  # unknown size: don't broadcast
+        if dv_bytes <= DV_BROADCAST_MAX_BYTES:
             dv = F.broadcast(dv)
         survivors = ddf.join(dv, ["_fp", "_pos"], "left_anti").select(*cols)
-        if not clean:
+        if not clean_paths:
             return survivors
-        clean_paths = [os.path.join(self.root, e.path) for e in clean]
-        return spark.read.schema(schema).parquet(*clean_paths).unionByName(survivors)
+        return self._read_paths(spark, schema, clean_paths).unionByName(survivors)
 
     def _entry_matches(self, e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
-        for p in preds:
-            if p.column in e.partition:
-                pv = e.partition[p.column]
-                if p.op == "=" and pv != p.value:
-                    return False
-                if p.op == "in" and pv not in p.value:
-                    return False
-                continue
-            lo = e.lower_bounds.get(p.column)
-            hi = e.upper_bounds.get(p.column)
-            if not _bounds_overlap(p, lo, hi):
-                return False
-            # membership predicates also consult the file's Bloom filter
-            # (prunes point lookups on ANY layout; absence = might-contain)
-            bloom = e.blooms.get(p.column)
-            if bloom and p.op in ("=", "in"):
-                vals = p.value if p.op == "in" else [p.value]
-                if not mf.bloom_any_contains(bloom, mf.bloom_key_hashes(vals)):
-                    return False
-        return True
+        return entry_matches(e, preds)
 
     def bucket_value(self, spark: SparkSession, source_value) -> int | None:
         """Compute the bucket partition value for a key (point-lookup pruning,
@@ -582,12 +694,24 @@ class Table:
         summary: dict | None = None,
         replace_all: bool = False,
         expected_snapshot_id: int | None = None,
+        expected_dv_counts: dict[str, int] | None = None,
     ) -> meta.Snapshot:
         """Commit a rewrite: live files minus removed plus added, with a full
         manifest rewrite (T7): surviving entries are re-grouped by partition
         into fresh, bounded manifests re-deriving per-partition grouping.
         Data files themselves are untouched — old snapshots keep referencing
         them (CoW sharing; expiry refcounts, SURVEY §7.3 hard part 1).
+
+        ``expected_dv_counts`` (path → #delete-vectors the planner saw on
+        each removed entry) closes the one interleaving path liveness alone
+        misses: a concurrent ``commit_delete_vectors`` keeps the path live
+        but grows its tombstone list, and a CoW rewrite that planned against
+        the OLD delete set would drop those tombstones with the replaced
+        entry — resurrecting the concurrently-deleted rows through the
+        rewritten output. If any removed entry's DV count moved since
+        planning, the commit fails with ConflictError and the caller
+        replans (mirror image of commit_delete_vectors' guard against
+        concurrently-rewritten files).
 
         ``replace_all=True`` replaces EVERY live file without materializing
         the removed set (the whole-table-rewrite commit used by the
@@ -596,7 +720,9 @@ class Table:
         way the removed-set form does (a file appended mid-rewrite would be
         silently dropped), it requires ``expected_snapshot_id`` and fails
         with ConflictError if the table moved past it — the same validation
-        Iceberg's RewriteDataFiles applies to conflicting commits."""
+        Iceberg's RewriteDataFiles applies to conflicting commits. (That
+        snapshot pin also subsumes the DV-count check: a concurrent DV
+        commit advances the snapshot id.)"""
         if replace_all and expected_snapshot_id is None:
             raise ValueError("replace_all requires expected_snapshot_id")
 
@@ -610,7 +736,16 @@ class Table:
                         f"but table is now at {snap.snapshot_id}"
                     )
                 survivors: list[mf.ManifestEntry] = []
-                n_removed: int | str = "all"
+                # numeric removed count from manifest footers only (no entry
+                # materialization — replace_all exists to avoid exactly that)
+                n_removed = (
+                    sum(
+                        pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
+                        for m in snap.manifests
+                    )
+                    if snap
+                    else 0
+                )
             else:
                 current = mf.read_manifests(self.metadata_dir, snap.manifests) if snap else []
                 live_paths = {e.path for e in current}
@@ -625,15 +760,33 @@ class Table:
                         f"{len(gone)} file(s) planned for replacement are no "
                         f"longer live (concurrent commit): {sorted(gone)[:3]}..."
                     )
+                if expected_dv_counts is not None:
+                    drifted = [
+                        e.path
+                        for e in current
+                        if e.path in removed_paths
+                        and len(e.deletes) != expected_dv_counts.get(e.path, 0)
+                    ]
+                    if drifted:
+                        raise meta.ConflictError(
+                            f"{len(drifted)} file(s) planned for replacement "
+                            f"gained/lost delete vectors since planning "
+                            f"(concurrent delete commit); replan the rewrite: "
+                            f"{sorted(drifted)[:3]}..."
+                        )
                 survivors = [e for e in current if e.path not in removed_paths]
                 n_removed = len(removed_paths)
             for e in added_entries:
                 e.added_snapshot_id = seq
             manifest_names = rewrite_manifests(self.metadata_dir, survivors + added_entries, seq)
-            s = {
+            s: dict = {
                 "removed-files": n_removed,
                 "added-files": len(added_entries),
             }
+            if replace_all:
+                # keep 'removed-files' numeric for summary aggregators; the
+                # whole-table semantics travel on a dedicated boolean flag
+                s["replace-all"] = True
             if summary:
                 s.update(summary)
             return md.new_snapshot(operation, manifest_names, s)

@@ -152,6 +152,10 @@ def execute_cluster(
             part_agg[k] = (b + e.size_bytes, r + e.live_count)
         input_ref = [e.path for e in entries]
         removed = {e.path for e in entries}
+        # DV counts at plan time — the rewrite absorbs exactly these
+        # tombstones; commit_replace conflicts if a concurrent delete
+        # lands on an input file after this point
+        expected_dvs: dict[str, int] | None = {e.path: len(e.deletes) for e in entries}
     else:
         agg_rows = (
             edf.groupBy("partition")
@@ -170,6 +174,7 @@ def execute_cluster(
         # 10^7 input paths on the driver; expiry/lineage resolve it lazily
         input_ref = [f"snapshot:{snap.snapshot_id}"]
         removed = None
+        expected_dvs = None  # replace_all's snapshot pin subsumes the DV check
     total_bytes = sum(b for b, _ in part_agg.values())
     total_records = sum(r for _, r in part_agg.values())
 
@@ -280,16 +285,42 @@ def execute_cluster(
                     out_k.extend(int(v) for v in zkey)
                 yield pd.DataFrame({"pkey": out_pk, "k": out_k})
 
-        sample_rows = files_df.mapInPandas(_sample_keys, "pkey string, k long").collect()
-        pooled: dict[str, list[int]] = {}
-        for r in sample_rows:
-            pooled.setdefault(r["pkey"], []).append(r["k"])
-        for pk, nb in n_sub.items():
-            ks = sorted(pooled.get(pk, []))
-            if nb > 1 and ks:
-                bounds_by_pkey[pk] = [
-                    int(ks[min(len(ks) - 1, (i * len(ks)) // nb)]) for i in range(1, nb)
-                ]
+        # pool + order-statistics EXECUTOR-side (applyInPandas per table
+        # partition): the driver receives only the nb−1 bounds per
+        # partition — O(#output files) rows — never the raw sampled keys
+        # (at the 10^12-row design point those are 10^9+ longs). The
+        # statistic is the same ks[i·len/nb] as ever, so bounds are
+        # bit-identical to the driver-pooled implementation.
+        nb_map = {k: int(v) for k, v in n_sub.items() if int(v) > 1}
+
+        def _bounds_of_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+            import pandas as pd
+
+            pk = pdf["pkey"].iloc[0]
+            nb = nb_map.get(pk, 1)
+            if nb <= 1 or not len(pdf):
+                return pd.DataFrame({"pkey": pd.Series(dtype=object),
+                                     "i": pd.Series(dtype="int64"),
+                                     "bound": pd.Series(dtype="int64")})
+            ks = np.sort(pdf["k"].to_numpy())
+            idxs = [min(len(ks) - 1, (i * len(ks)) // nb) for i in range(1, nb)]
+            return pd.DataFrame(
+                {"pkey": pk, "i": np.arange(1, nb, dtype="int64"),
+                 "bound": ks[idxs].astype("int64")}
+            )
+
+        bound_rows = (
+            files_df.mapInPandas(_sample_keys, "pkey string, k long")
+            .groupBy("pkey")
+            .applyInPandas(_bounds_of_group, "pkey string, i long, bound long")
+            .collect()
+        )
+        by_pk: dict[str, list[tuple[int, int]]] = {}
+        for r in bound_rows:
+            by_pk.setdefault(r["pkey"], []).append((int(r["i"]), int(r["bound"])))
+        for pk, pairs in by_pk.items():
+            bounds_by_pkey[pk] = [b for _, b in sorted(pairs)]
     phases["bounds"] = time.time() - t_bounds
 
     # combo = (partition, range bucket) → dense index; combos are metadata
@@ -514,7 +545,10 @@ def execute_cluster(
     t_commit = time.time()
     summary = {"job": job_id, "op": "cluster", "curve": curve}
     if removed is not None:
-        table.commit_replace(removed, new_entries, operation="replace", summary=summary)
+        table.commit_replace(
+            removed, new_entries, operation="replace", summary=summary,
+            expected_dv_counts=expected_dvs,
+        )
     else:
         # whole-table rewrite without a driver-side removed set; fails if
         # the table moved past the planned snapshot (see commit_replace)

@@ -64,8 +64,16 @@ class FileGroup:
     input_dvs: dict = field(default_factory=dict)
 
 
-def _group_id(paths: list[str]) -> str:
-    return hashlib.sha1("\n".join(sorted(paths)).encode()).hexdigest()[:16]
+def _group_id(paths: list[str], dvs: dict | None = None) -> str:
+    """Stable id of a file group = hash of member paths PLUS their delete-
+    vector state. Same paths with different tombstone sets must be
+    DIFFERENT groups: resume recovers 'written' outputs by group id, and an
+    output written before a concurrent delete landed has not absorbed the
+    new tombstones — reusing it would resurrect the deleted rows."""
+    key = "\n".join(sorted(paths))
+    if dvs:
+        key += "\n#dv#" + json.dumps({k: sorted(v) for k, v in dvs.items()}, sort_keys=True)
+    return hashlib.sha1(key.encode()).hexdigest()[:16]
 
 
 def plan_compaction(
@@ -115,7 +123,7 @@ def plan_compaction(
             paths = [e.path for e in b]
             groups.append(
                 FileGroup(
-                    group_id=_group_id(paths),
+                    group_id=_group_id(paths, dvs),
                     partition=b[0].partition,
                     input_paths=paths,
                     input_bytes=sum(e.size_bytes for e in b),
@@ -196,7 +204,7 @@ def plan_compaction_distributed(
             out.append(
                 {
                     "partition": part,
-                    "group_id": _group_id(paths),
+                    "group_id": _group_id(paths, dvs),
                     "input_paths": paths,
                     "input_bytes": int(sum(int(pdf.at[i, "size_bytes"]) for i in b)),
                     "input_records": live,
@@ -497,8 +505,18 @@ def execute_compaction(
     tc = time.time()
     removed = {p for g in groups for p in g.input_paths}
     added = [e for g in groups for e in written_entries.get(g.group_id, [])]
+    # plan-time DV counts per input: the rewrite tasks absorbed exactly these
+    # tombstone sets, so a concurrent delete landing after planning must
+    # conflict (commit_replace raises) rather than be silently dropped
+    expected_dvs = {
+        p: len(g.input_dvs.get(p, [])) for g in groups for p in g.input_paths
+    }
     table.commit_replace(
-        removed, added, operation="replace", summary={"job": job_id, "op": op}
+        removed,
+        added,
+        operation="replace",
+        summary={"job": job_id, "op": op},
+        expected_dv_counts=expected_dvs,
     )
     dur_ms = int((time.time() - t0) * 1000)
     total_rows = sum(e.record_count for e in added)

@@ -62,7 +62,15 @@ def evolve_partition_spec(
     # rewrite all old-spec files under the new layout (one job + one commit);
     # the removed set is the pre-evolution path list, so a concurrent append
     # written under the NEW spec survives the manifest rewrite correctly
-    old_paths = {r["path"] for r in edf.select("path").collect()}
+    old_rows = edf.selectExpr(
+        "path",
+        "size(from_json(coalesce(deletes, '[]'), "
+        "'array<struct<path:string,count:bigint>>')) AS n_dvs",
+    ).collect()
+    old_paths = {r["path"] for r in old_rows}
+    # scan() below applies exactly these DV sets; a concurrent delete after
+    # this point must conflict at commit, not vanish with the replaced entry
+    expected_dvs = {r["path"]: int(r["n_dvs"]) for r in old_rows}
     df = table.scan(spark)
     n_files = max(1, -(-total_bytes // table.target_file_size))
     new_entries = table.write_data_files(df, num_files=int(n_files))
@@ -71,6 +79,7 @@ def evolve_partition_spec(
         new_entries,
         operation="replace",
         summary={"op": "evolve-partition-spec"},
+        expected_dv_counts=expected_dvs,
     )
     dur_ms = int((time.time() - t0) * 1000)
     if sys_tables:

@@ -527,7 +527,7 @@ def merge_into(
             t_dirty = [e for e in touched_entries if e.deletes]
             if t_dirty:
                 touched_df = table._scan_with_deletes(
-                    spark, t_clean, t_dirty, table.schema
+                    spark, [e.path for e in t_clean], t_dirty, table.schema
                 )
             else:
                 touched_paths = [os.path.join(table.root, e.path) for e in touched_entries]
@@ -563,6 +563,10 @@ def merge_into(
                 "touched-files": len(touched_entries),
                 **(extra_summary or {}),
             },
+            # touched_entries are the plan-time snapshot of each file's DV
+            # set (the CoW rewrite absorbed exactly those tombstones);
+            # conflict if a concurrent delete grew any of them since
+            expected_dv_counts={e.path: len(e.deletes) for e in touched_entries},
         )
         dur_ms = int((time.time() - t0) * 1000)
         if sys_tables:

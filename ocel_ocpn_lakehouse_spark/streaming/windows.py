@@ -73,23 +73,31 @@ def stream_activity_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     group_col: str = "event_type",
+    value_col: str | None = "value",
     stream_id: str = "activity-counts",
 ) -> None:
     """Drain available files; append FINALIZED window rows (window_start,
-    window_end, group, n, sum_value) to ``table``. Append mode + watermark
+    window_end, group, n[, sum_value]) to ``table``. Append mode + watermark
     means each window commits exactly once; re-running after more files
-    arrive emits only newly-finalized windows."""
+    arrive emits only newly-finalized windows. ``value_col`` names the
+    column summed alongside the count; pass None (or a name absent from
+    ``schema``) to emit counts only."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    if value_col is not None and value_col not in schema.fieldNames():
+        value_col = None
+    aggs = [F.count("*").alias("n")]
+    cols = ["grp", "n"]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+        cols.append("sum_value")
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(group_col).alias("grp"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            "grp",
-            "n",
-            "sum_value",
+            *cols,
         )
     )
     q = (

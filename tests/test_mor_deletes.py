@@ -479,3 +479,71 @@ def test_expire_sweeps_orphan_dv_files(spark, warehouse):
     assert not os.path.isfile(dv_abs)
     # head still scans clean
     assert t.refresh().scan(spark).count() == sum(e.live_count for e in t.refresh().live_entries())
+
+
+def test_replace_commit_conflicts_with_concurrent_dv(spark, warehouse):
+    """The reverse interleaving of the rewrite/DV races above: a CoW
+    rewrite PLANS (captures each input's tombstone set), a concurrent
+    delete_where then grows one input's DV list, and the rewrite's
+    commit_replace must CONFLICT — the path is still live, so liveness
+    alone would pass, and the new tombstones would vanish with the
+    replaced entry, resurrecting the concurrently-deleted rows through
+    the rewritten output."""
+    import pytest as _pytest
+
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+
+    cat, t = _table(spark, warehouse)
+    groups = plan_compaction(t, include_all=True)
+    assert groups
+    # a concurrent MoR delete lands between planning and commit
+    r = delete_where(spark, t, "w = 32")
+    assert r["tombstoned_files"] > 0
+    n_live_after_delete = sum(e.live_count for e in t.refresh().live_entries())
+    with _pytest.raises(meta.ConflictError, match="delete vectors since planning"):
+        execute_compaction(
+            spark, t, SystemTables(cat.warehouse), "ocel.images", groups=groups
+        )
+    # the delete survived; nothing resurrected
+    t = t.refresh()
+    assert t.scan(spark).count() == n_live_after_delete
+    # replanning against the new DV state succeeds and absorbs the DVs
+    t2 = t.refresh()
+    res = execute_compaction(spark, t2, SystemTables(cat.warehouse), "ocel.images")
+    assert res["status"] == "committed"
+    t2 = t2.refresh()
+    assert t2.scan(spark).count() == n_live_after_delete
+    assert all(not e.deletes for e in t2.live_entries())
+
+
+def test_dv_broadcast_threshold_is_size_based(spark, warehouse, monkeypatch):
+    """MoR scans broadcast the DV side only under the byte threshold: a DV
+    set 'wider' than DV_BROADCAST_MAX_BYTES must route to a shuffle join
+    (a row-count cutoff would happily broadcast hundreds of MB of long
+    paths to every executor)."""
+    from ocel_ocpn_lakehouse_spark.core import table as table_mod
+
+    _, t = _table(spark, warehouse)
+    delete_where(spark, t, "w = 32")
+    t = t.refresh()
+
+    def _plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # disable Spark's own size-estimate broadcast so the plan reflects the
+    # engine's explicit hint (at real scale a GB DV side never auto-routes)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # under the threshold: DV side is broadcast via the engine hint
+        assert "BroadcastHashJoin" in _plan(t.scan(spark))
+        # shrink the threshold below the real DV file size: shuffle join
+        monkeypatch.setattr(table_mod, "DV_BROADCAST_MAX_BYTES", 1)
+        no_bcast = t.scan(spark)
+        assert "BroadcastHashJoin" not in _plan(no_bcast)
+        # identical results either way
+        assert no_bcast.count() == sum(e.live_count for e in t.live_entries())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
