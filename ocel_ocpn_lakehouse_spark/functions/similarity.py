@@ -355,11 +355,12 @@ def ivf_index_table(
     spark,
     catalog,
     name: str,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     n_cells: int = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_table=None,
 ):
     """Persist an IVF index as an ENGINE TABLE: the corpus written with its
     cell id as an identity partition, centroids stored in table properties.
@@ -368,12 +369,23 @@ def ivf_index_table(
     scale the cell id is a persisted, partitioned column, so probing
     prunes FILES at the manifest level before Spark reads a byte
     (:meth:`Table.scan` with a PrunePredicate on the partition value).
-    Returns the committed Table."""
+    Returns the committed Table.
+
+    Pass ``source_table`` (an engine Table; ``corpus`` then defaults to its
+    scan) to make the index FRESHNESS-TRACKED: the source snapshot id is
+    pinned into the index commit, :func:`ivf_index_is_stale` compares it to
+    the source head, and :func:`ivf_index_refresh` catches up through the
+    source's incremental CDC scan — the M7 pattern applied to a
+    similarity index."""
     import json as _json
 
     from ..core import PartitionSpec, TableSpec
     from ..core.spec import PartitionField
 
+    if corpus is None:
+        if source_table is None:
+            raise ValueError("either corpus or source_table is required")
+        corpus = source_table.scan(spark)
     cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     df = corpus.withColumn(
         "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
@@ -390,7 +402,99 @@ def ivf_index_table(
         ),
     )
     t.append(df)
+    if source_table is not None:
+        snap = source_table.current_snapshot()
+        if snap is not None:
+            _stamp_ivf_source(t, snap.snapshot_id)
     return t
+
+
+def _stamp_ivf_source(index_table, source_snapshot_id: int) -> None:
+    """Pin the source snapshot the index reflects into the index's LATEST
+    commit summary (the exact-staleness bookkeeping mviews.py:98-104 uses
+    for M5/M7: a freshness fact is a property of a commit, not of mutable
+    table properties)."""
+    from ..core import metadata as meta
+
+    md = meta.load_metadata(index_table.root)
+    md.snapshots[-1].summary["ivf-source-snapshot-id"] = int(source_snapshot_id)
+    meta.commit_metadata(index_table.root, md, md.version)
+    index_table.refresh()
+
+
+def ivf_source_snapshot(index_table) -> int | None:
+    """Source snapshot id the index currently reflects (None = untracked)."""
+    snap = index_table.current_snapshot()
+    if snap is None:
+        return None
+    v = snap.summary.get("ivf-source-snapshot-id")
+    return int(v) if v is not None else None
+
+
+def ivf_index_is_stale(index_table, source_table) -> bool:
+    src = source_table.current_snapshot()
+    return ivf_source_snapshot(index_table) != (src.snapshot_id if src else None)
+
+
+def ivf_index_refresh(
+    spark,
+    index_table,
+    source_table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Catch a freshness-tracked IVF index up to its source table.
+
+    Appends since the pinned snapshot arrive through
+    :meth:`Table.incremental_scan` (cost ∝ delta bytes): new rows are
+    assigned to cells with the FROZEN stored centroids and appended into
+    the matching identity partitions — search keeps pruning files and
+    agreeing with an in-memory search over the grown corpus, because probe
+    and assignment share one centroid set. A non-append-only source range
+    (merge/overwrite/rollback) falls back to a full overwrite rebuild,
+    still under the stored centroids (centroid retraining is a new index
+    build, not a refresh). Mirrors MVDefinition.incr_merge (M7)."""
+    import json as _json
+
+    from ..core.table import IncrementalScanError
+
+    cur = source_table.current_snapshot()
+    if cur is None:
+        return {"status": "empty-source"}
+    recorded = ivf_source_snapshot(index_table)
+    if recorded == cur.snapshot_id:
+        return {"status": "fresh", "source_snapshot_id": cur.snapshot_id}
+    cents = _json.loads(index_table.md.properties["ivf.centroids"])
+
+    delta = None
+    if recorded is not None:
+        try:
+            delta = source_table.incremental_scan(spark, recorded, cur.snapshot_id)
+        except IncrementalScanError:
+            delta = None  # non-append-only range → rebuild below
+    if delta is not None:
+        dfc = delta.withColumn(
+            "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
+        )
+        n = int(dfc.count())
+        if n:
+            index_table.append(dfc)
+        _stamp_ivf_source(index_table, cur.snapshot_id)
+        return {
+            "status": "refreshed-incremental",
+            "rows_indexed": n,
+            "source_snapshot_id": cur.snapshot_id,
+        }
+    full = source_table.scan(spark).withColumn(
+        "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
+    )
+    index_table.overwrite(full)
+    _stamp_ivf_source(index_table, cur.snapshot_id)
+    return {
+        "status": "rebuilt",
+        "rows_indexed": int(full.count()),
+        "source_snapshot_id": cur.snapshot_id,
+    }
 
 
 def ivf_topk_indexed(

@@ -422,3 +422,67 @@ def test_deterministic_split_and_sampling(spark):
     # deterministic: same rows every run
     ex2 = exact_stratified_sample(df, ["lang"], 0.10, "doc_id")
     assert ex.exceptAll(ex2).count() == 0 and ex2.exceptAll(ex).count() == 0
+
+
+def test_ivf_index_incremental_freshness(spark, tmp_path):
+    """A freshness-tracked IVF index catches up to source appends through
+    incremental_scan (delta-cost, frozen centroids) and still agrees with
+    an in-memory IVF search over the GROWN corpus; a non-append-only
+    source commit routes to a full rebuild. VERDICT r02 item #7."""
+    import json
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    later = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("ann.src", emb.schema, TableSpec())
+    src.append(first)
+
+    t = S.ivf_index_table(spark, cat, "ann.emb", n_cells=8, iters=2, source_table=src)
+    assert not S.ivf_index_is_stale(t, src)
+    assert S.ivf_index_refresh(spark, t, src)["status"] == "fresh"
+
+    # source grows → index stale → incremental refresh, delta rows only
+    src.append(later)
+    src.refresh()
+    assert S.ivf_index_is_stale(t, src)
+    r = S.ivf_index_refresh(spark, t, src)
+    assert r["status"] == "refreshed-incremental"
+    assert r["rows_indexed"] == later.count()
+    assert not S.ivf_index_is_stale(t, src)
+
+    # indexed search == in-memory search over the grown corpus
+    cents = json.loads(t.md.properties["ivf.centroids"])
+    grown = src.scan(spark)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk(grown, queries, k=5, nprobe=3, centroids=cents).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk_indexed(spark, t, queries, k=5, nprobe=3).collect()
+    }
+    assert got == want and got
+
+    # a non-append-only source commit (overwrite) → full rebuild
+    src.overwrite(emb.filter(F.col("vec_id") % 3 == 0))
+    src.refresh()
+    assert S.ivf_index_is_stale(t, src)
+    r2 = S.ivf_index_refresh(spark, t, src)
+    assert r2["status"] == "rebuilt"
+    t.refresh()
+    shrunk = src.scan(spark)
+    want2 = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk(shrunk, queries, k=5, nprobe=3, centroids=cents).collect()
+    }
+    got2 = {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk_indexed(spark, t, queries, k=5, nprobe=3).collect()
+    }
+    assert got2 == want2 and got2
