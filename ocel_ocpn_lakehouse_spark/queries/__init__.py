@@ -8,6 +8,8 @@ ORACLES get the driver's weaker rows-only check (noted per query).
 
 from .conformance import ORACLES as _CF_ORACLES
 from .conformance import QUERIES as _CF_QUERIES
+from .costs import ORACLES as _CO_ORACLES
+from .costs import QUERIES as _CO_QUERIES
 from .ocpn import ORACLES as _PN_ORACLES
 from .ocpn import QUERIES as _PN_QUERIES
 from .relational import QUERIES as _REL_QUERIES
@@ -15,7 +17,7 @@ from .relational import ORACLES as _REL_ORACLES
 from .textml import QUERIES as _TM_QUERIES
 from .textml import ORACLES as _TM_ORACLES
 
-QUERIES = {**_REL_QUERIES, **_TM_QUERIES, **_CF_QUERIES, **_PN_QUERIES}
-ORACLES = {**_REL_ORACLES, **_TM_ORACLES, **_CF_ORACLES, **_PN_ORACLES}
+QUERIES = {**_REL_QUERIES, **_TM_QUERIES, **_CF_QUERIES, **_PN_QUERIES, **_CO_QUERIES}
+ORACLES = {**_REL_ORACLES, **_TM_ORACLES, **_CF_ORACLES, **_PN_ORACLES, **_CO_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]
