@@ -419,6 +419,23 @@ class Table:
         mpaths = [os.path.join(self.metadata_dir, m) for m in snap.manifests]
         edf = spark.read.schema(_entries_spark_schema()).parquet(*mpaths)
         preds = list(prune) if prune else []
+        # JVM prefilter for partition '='/'in' predicates: a point-lookup on
+        # a 10^7-file table should not stream every entry through Python.
+        # Strictly conservative — only drops rows whose partition key is
+        # PRESENT and provably excluded (get_json_object renders both JSON
+        # 3 and "3" as '3', so int/string values compare stably; floats and
+        # bools are skipped); absent keys pass through to the authoritative
+        # entry_matches verdict below.
+        for p in preds:
+            if p.op not in ("=", "in") or not p.column.startswith("_p_"):
+                continue
+            vals = list(p.value) if p.op == "in" else [p.value]
+            if not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals
+            ):
+                continue
+            jv = F.get_json_object("partition", f"$.{p.column}")
+            edf = edf.filter(jv.isNull() | jv.isin([str(v) for v in vals]))
 
         def _prune_batches(batches):
             import pandas as pd

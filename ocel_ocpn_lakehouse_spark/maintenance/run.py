@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--retention-days", type=float, default=None)
     ap.add_argument("--keep-last", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--retries", type=int, default=2,
+        help="replan-and-retry rewrite commits that lose a concurrency race "
+             "(Iceberg commit.retry semantics; 0 = fail fast)",
+    )
     args = ap.parse_args(argv)
 
     from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
@@ -91,16 +96,25 @@ def main(argv=None) -> int:
             rep["schedule"] = maintenance_schedule(h.health_score)
             rep["retention"] = retention_analysis(t)
 
+        from .retry import run_with_conflict_retry
+
         if args.op in ("compact", "full"):
             # groups=None → execute_compaction routes the planning itself
             # (driver FFD for small manifests, distributed planner over
-            # entries_df beyond 10k entries)
-            rep["compaction"] = execute_compaction(spark, t, sys_tables, table_name)
+            # entries_df beyond 10k entries); a lost concurrency race
+            # replans from the refreshed table and retries
+            rep["compaction"] = run_with_conflict_retry(
+                lambda: execute_compaction(spark, t.refresh(), sys_tables, table_name),
+                t, retries=args.retries,
+            )
             rep["compaction_plan_groups"] = rep["compaction"].get("groups", 0)
 
         if args.op in ("cluster", "full"):
-            rep["cluster"] = execute_cluster(
-                spark, t.refresh(), sys_tables, table_name, curve=args.curve
+            rep["cluster"] = run_with_conflict_retry(
+                lambda: execute_cluster(
+                    spark, t.refresh(), sys_tables, table_name, curve=args.curve
+                ),
+                t, retries=args.retries,
             )
 
         if args.op == "rewrite":
@@ -110,8 +124,11 @@ def main(argv=None) -> int:
             # the bytes — at warehouse scale this halves rewrite I/O vs
             # compact-then-cluster (Iceberg's rewrite_data_files with a
             # sort strategy is the same fusion)
-            rep["rewrite"] = execute_cluster(
-                spark, t, sys_tables, table_name, curve=args.curve
+            rep["rewrite"] = run_with_conflict_retry(
+                lambda: execute_cluster(
+                    spark, t.refresh(), sys_tables, table_name, curve=args.curve
+                ),
+                t, retries=args.retries,
             )
 
         if args.op == "expire":

@@ -547,3 +547,44 @@ def test_dv_broadcast_threshold_is_size_based(spark, warehouse, monkeypatch):
         assert no_bcast.count() == sum(e.live_count for e in t.live_entries())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_conflict_retry_replans_and_commits(spark, warehouse):
+    """run_with_conflict_retry: an attempt that loses the DV race (stale
+    plan → ConflictError at commit) is retried against the refreshed table,
+    replans with the new tombstone state, absorbs it, and commits — the
+    Iceberg commit-retry discipline on top of the fail-fast commit layer."""
+    import pytest as _pytest
+
+    from ocel_ocpn_lakehouse_spark.core import metadata as meta
+    from ocel_ocpn_lakehouse_spark.maintenance.retry import run_with_conflict_retry
+
+    cat, t = _table(spark, warehouse)
+    stale = plan_compaction(t, include_all=True)
+    delete_where(spark, t, "w = 32")  # race: lands after planning
+    live = sum(e.live_count for e in t.refresh().live_entries())
+    st = SystemTables(cat.warehouse)
+
+    calls = []
+
+    def attempt():
+        # first attempt carries the stale plan (as a long-running job
+        # would); the retry plans fresh
+        g = stale if not calls else None
+        calls.append(1)
+        return execute_compaction(
+            spark, t.refresh(), st, "ocel.images", groups=g
+        )
+
+    res = run_with_conflict_retry(attempt, t, retries=2)
+    assert res["status"] == "committed" and len(calls) == 2
+    t = t.refresh()
+    assert t.scan(spark).count() == live
+    assert all(not e.deletes for e in t.live_entries())
+
+    # exhausted retries surface the ConflictError
+    def always_stale():
+        raise meta.ConflictError("permanent feud")
+
+    with _pytest.raises(meta.ConflictError, match="permanent feud"):
+        run_with_conflict_retry(always_stale, t, retries=1)
