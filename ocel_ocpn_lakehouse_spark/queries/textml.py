@@ -694,6 +694,65 @@ def q42_ann_ivf_indexed(spark, sf_dir):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- q49: near-dup GROUPS (transitive closure of the q24 pair relation) ----------------
+
+
+def q49_neardup_groups(spark, sf_dir):
+    """Candidate pairs → connected components → one survivor per group
+    (functions/cc.py min-label propagation; survivor = min doc_id, the
+    dedup_exact policy). Near-dup clusters chain A~B~C with A~C below
+    threshold, so pair-level dedup either over- or under-deletes — the
+    grouping stage is what makes the dedup operators a usable pipeline.
+    Oracle: DuckDB recursive CTE computes the same transitive closure."""
+    from ..functions.cc import near_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
+    return near_dup_groups(pairs, id_a="id_a", id_b="id_b").orderBy("doc_id")
+
+
+Q49_SQL = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+kept AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id,
+       MIN(label) AS group_id,
+       (node = MIN(label)) AS is_survivor
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q23_dedup_exact": q23_dedup_exact,
     "q24_ngram_jaccard": q24_ngram_jaccard,
@@ -714,6 +773,7 @@ QUERIES = {
     "q44_mor_delete": q44_mor_delete,
     "q45_dataset_split": q45_dataset_split,
     "q46_curation_pipeline": q46_curation_pipeline,
+    "q49_neardup_groups": q49_neardup_groups,
 }
 
 ORACLES = {
@@ -727,4 +787,5 @@ ORACLES = {
     "q32_embedding_norms": Q32_SQL,
     "q45_dataset_split": Q45_SQL,
     "q46_curation_pipeline": Q46_SQL,
+    "q49_neardup_groups": Q49_SQL,
 }

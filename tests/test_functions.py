@@ -486,3 +486,62 @@ def test_ivf_index_incremental_freshness(spark, tmp_path):
         for r in S.ivf_topk_indexed(spark, t, queries, k=5, nprobe=3).collect()
     }
     assert got2 == want2 and got2
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation fixpoint == classic union-find on random
+    graphs (chains, cliques, isolated pairs, star), plus determinism."""
+    import random
+
+    from ocel_ocpn_lakehouse_spark.functions.cc import connected_components, near_dup_groups
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = []
+    # chains (long diameter), cliques, stars, random noise
+    for s in range(0, 40, 1):
+        edges.append((s, s + 1))                      # chain 0..40
+    for base in (50, 60):
+        for i in range(base, base + 5):
+            for j in range(i + 1, base + 5):
+                edges.append((i, j))                  # cliques
+    for leaf in range(71, 80):
+        edges.append((70, leaf))                      # star
+    for _ in range(60):
+        a, b = rng.sample(range(100, 200), 2)
+        edges.append((a, b))
+
+    # oracle: union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {}
+    for n in touched:
+        root = find(n)
+        want.setdefault(root, set()).add(n)
+    # min-id per component, as the Spark side defines it
+    want_label = {n: min(grp) for grp in want.values() for n in grp}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=50).collect()}
+    assert got == want_label
+
+    # grouping surface: exactly one survivor (the min id) per group
+    g = near_dup_groups(df.selectExpr("src as doc_a", "dst as doc_b"), max_iter=50)
+    rows = g.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        assert sum(r["is_survivor"] for r in members) == 1
+        assert min(r["doc_id"] for r in members) == gid
