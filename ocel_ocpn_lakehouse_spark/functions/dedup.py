@@ -331,3 +331,72 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+# ---- grouping survivors / incremental dedup -----------------------------------
+
+
+def near_dup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup groups to ONE survivor each and return the
+    deduplicated corpus (ungrouped docs pass through untouched).
+
+    Survivor policy: by default the min id (deterministic, matches
+    dedup_exact); with ``quality_col``, the HIGHEST-quality member wins
+    (min id on ties) — the policy real curation pipelines want, since the
+    canonical copy of a near-dup cluster is rarely the lowest-numbered
+    one. Scale shape: components via functions/cc.py (O(edges) rounds),
+    one window over group members only (never the full corpus), one
+    anti-join to drop losers."""
+    from pyspark.sql import Window
+
+    from .cc import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    if quality_col is None:
+        losers = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        members = cc.join(
+            docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+            "node",
+        )
+        w = Window.partitionBy("component").orderBy(F.desc("_q"), F.asc("node"))
+        losers = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Exact-dedup an INCOMING batch against an already-curated corpus:
+    the streaming/append shape of dedup_exact. Keeps one survivor per
+    fingerprint within the batch (min id), then anti-joins the corpus's
+    fingerprint set — cost ∝ batch size + |seen| join side (broadcastable
+    while small; at warehouse scale, persist ``seen_fps`` as an engine
+    table with 'write.bloom-columns: fp' so the anti-join probe prunes
+    files at the manifest). The corpus itself is never rescanned. Returns
+    the accepted rows WITH their fingerprint column (named ``fp_col``) so
+    the caller can append them to the seen-set table in the same commit."""
+    batch = new_docs.withColumn(fp_col, fingerprint(F.col(text_col)))
+    keep = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    batch = batch.join(keep, [id_col], "left_semi")
+    return batch.join(
+        seen_fps.select(F.col(fp_col)).distinct(), [fp_col], "left_anti"
+    )

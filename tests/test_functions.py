@@ -545,3 +545,59 @@ def test_connected_components_vs_union_find(spark):
     for gid, members in by_group.items():
         assert sum(r["is_survivor"] for r in members) == 1
         assert min(r["doc_id"] for r in members) == gid
+
+
+def test_near_dup_survivors_policies(spark):
+    """Survivor selection over near-dup groups: min-id default, and
+    highest-quality (tie → min id) when a quality column is given;
+    ungrouped docs always pass through."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1), (20, 0.7)],
+        "doc_id long, quality double",
+    )
+    # group {1,2,3} (chain), group {4,10}; 20 ungrouped
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 10)], "id_a long, id_b long")
+
+    kept_min = {r["doc_id"] for r in near_dup_survivors(docs, pairs).collect()}
+    assert kept_min == {1, 4, 20}
+
+    kept_q = {
+        r["doc_id"]
+        for r in near_dup_survivors(docs, pairs, quality_col="quality").collect()
+    }
+    # {1,2,3}: max quality 0.9 tie between 2 and 3 → min id 2; {4,10}: 4
+    assert kept_q == {2, 4, 20}
+
+
+def test_dedup_incremental_against_corpus(spark):
+    """The append-shape of exact dedup: a batch dedups within itself
+    (min-id survivor per fingerprint) AND against the already-curated
+    corpus fingerprints, without rescanning the corpus."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import dedup_incremental
+    from ocel_ocpn_lakehouse_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], "doc_id long, text string"
+    )
+    seen = corpus.select(fingerprint(F.col("text")).alias("fp"))
+
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),          # dup of corpus doc 2 → dropped
+            (11, "a genuinely new doc"),  # new → kept
+            (12, "another new doc"),      # new, duplicated in-batch → kept (min id)
+            (13, "another new doc"),      # in-batch dup of 12 → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(batch, seen)
+    assert {r["doc_id"] for r in out.collect()} == {11, 12}
+    assert "fp" in out.columns  # caller appends these fps to the seen set
+
+    # idempotent second pass: feeding the accepted rows' fps back makes the
+    # same batch fully duplicate
+    seen2 = seen.unionByName(out.select("fp"))
+    assert dedup_incremental(batch, seen2).count() == 0
