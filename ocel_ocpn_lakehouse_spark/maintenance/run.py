@@ -28,7 +28,7 @@ def main(argv=None) -> int:
         default="full",
         choices=[
             "health", "compact", "cluster", "rewrite", "expire", "quality",
-            "full", "synth", "orphans", "delete", "rollback", "tag",
+            "full", "synth", "orphans", "delete", "rollback", "tag", "auto",
         ],
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
@@ -130,6 +130,48 @@ def main(argv=None) -> int:
                 ),
                 t, retries=args.retries,
             )
+
+        if args.op == "auto":
+            # autonomous pass: the reference's scheduler decision flow
+            # (ops/maintenance_system.py health thresholds → actions), but
+            # keyed off the STRUCTURED health metrics and executed with the
+            # conflict-retry discipline. Runs only what the table needs.
+            h = analyze_table_health(spark, t, table_name)
+            rep["health"] = h.to_dict()
+            actions: list[str] = []
+            # decide via the compaction planner, not score heuristics: it
+            # emits groups only when a rewrite can actually merge >=2 files
+            # or absorb tombstones, so a small-but-packed table is 'none'
+            # instead of looping on an avg-size threshold
+            from .compact import plan_compaction, plan_compaction_distributed
+
+            n_entries = t.entries_df(spark).count()
+            plan = (
+                plan_compaction_distributed(spark, t)
+                if n_entries > 10_000
+                else plan_compaction(t)
+            )
+            rep["plan_groups"] = len(plan)
+            needs_rewrite = bool(plan)
+            if needs_rewrite:
+                rep["rewrite"] = run_with_conflict_retry(
+                    lambda: execute_cluster(
+                        spark, t.refresh(), sys_tables, table_name, curve=args.curve
+                    ),
+                    t, retries=args.retries,
+                )
+                actions.append("rewrite")
+            if h.snapshot_count > 100 or args.retention_days is not None:
+                rep["expire"] = expire_snapshots(
+                    spark,
+                    t.refresh(),
+                    sys_tables,
+                    table_name,
+                    retention_days=args.retention_days,
+                    keep_last=args.keep_last,
+                )
+                actions.append("expire")
+            rep["actions"] = actions or ["none"]
 
         if args.op == "expire":
             rep["expire"] = expire_snapshots(

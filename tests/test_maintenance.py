@@ -823,3 +823,26 @@ def test_blooms_stamped_at_append(spark, warehouse):
         if t._entry_matches(e, [PrunePredicate("image_id", "=", "junk_key")])
     ]
     assert len(kept) < len(entries)
+
+
+def test_cli_auto_op_runs_only_whats_needed(spark, warehouse, capsys):
+    """--op auto: the autonomous pass rewrites a fragmented table (health
+    thresholds → actions) and reports 'none' on the second run when the
+    table is already healthy."""
+    import json as _json
+
+    from ocel_ocpn_lakehouse_spark.maintenance.run import main as cli_main
+
+    wh = str(warehouse)
+    cli_main(["--warehouse", wh, "--op", "synth", "--rows", "400", "--files", "64"])
+    capsys.readouterr()
+
+    cli_main(["--warehouse", wh, "--op", "auto"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["actions"] == ["rewrite"]
+    assert rep["rewrite"]["status"] == "committed"
+
+    cli_main(["--warehouse", wh, "--op", "auto"])
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["actions"] == ["none"]
+    assert "rewrite" not in rep2
