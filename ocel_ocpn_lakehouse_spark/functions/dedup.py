@@ -400,3 +400,42 @@ def dedup_incremental(
     return batch.join(
         seen_fps.select(F.col(fp_col)).distinct(), [fp_col], "left_anti"
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train/eval overlap by shared word n-grams — the pretraining
+    DECONTAMINATION op: a training doc sharing >= ``min_hits`` distinct
+    n-grams with a benchmark doc is flagged (doc_id, bench_id, n_shared)
+    for removal before training, so the model is never evaluated on data
+    it memorized.
+
+    Scale shape: the benchmark side is tiny (eval suites are thousands of
+    docs) — its exploded n-gram set broadcasts, so the corpus pays one
+    scan + one broadcast-join + one partial-agg groupBy, never a shuffle
+    of corpus n-grams. n defaults to 8 (long enough that natural reuse is
+    ~impossible, short enough to survive small edits; published pipelines
+    use 8-13)."""
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    b = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(shingles(F.col(bench_text_col), n)).alias("g"),
+        )
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )

@@ -1,0 +1,68 @@
+"""Token-budget shard packing — the training-export shape.
+
+A curated corpus ships to trainers as fixed-token-budget shards in a
+deterministic order. The assignment is a global running sum of token
+counts — trivially `floor(cumsum/budget)` in one-machine SQL, but a naive
+`Window.orderBy(...)` with no partition key collapses Spark to a single
+task. Here the cumsum is the standard two-phase distributed pattern:
+
+1. `repartitionByRange(order_col)` — ascending key ranges land on
+   ascending partition ids (RangePartitioner contract), so partition-local
+   order + partition id reconstruct the total order;
+2. per-partition token totals (one O(#partitions) aggregate) prefix-sum on
+   the driver into per-partition OFFSETS — scalar metadata, broadcast
+   back;
+3. partition-local window cumsum + offset = exact global cumsum, every
+   partition in parallel.
+
+Deterministic for a given (order_col, budget) regardless of input layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 4096,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``shard`` = floor(tokens-before-this-doc / budget) in order_col
+    order: contiguous docs pack into the same shard until the budget
+    spills into the next (greedy contiguous packing; a doc straddling a
+    boundary belongs to the shard its FIRST token falls in). Invariant:
+    the first s shards together hold [s*budget, s*budget + max_doc_tokens)
+    tokens — each boundary tracks the budget to within one document — and
+    when every doc is smaller than the budget, shard ids are dense."""
+    spark = docs.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    p = docs.repartitionByRange(n_part, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: int(r["_tot"])
+        for r in p.groupBy("_pid")
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("_tot"))
+        .collect()
+    }
+    offsets, run = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, run))
+        run += totals.get(pid, 0)
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        p.join(off, "_pid")
+        .withColumn(
+            "_before",
+            F.col("_offset") + F.sum(token_col).over(w) - F.col(token_col),
+        )
+        .withColumn("shard", F.floor(F.col("_before") / budget).cast("int"))
+        .drop("_pid", "_offset", "_before")
+    )

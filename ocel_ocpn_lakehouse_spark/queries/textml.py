@@ -753,6 +753,84 @@ ORDER BY doc_id
 """
 
 
+# --- q50: n-gram decontamination (train/eval overlap) ----------------------------------
+
+
+def q50_decontamination(spark, sf_dir):
+    """Pretraining decontamination: flag training docs sharing >=1 distinct
+    8-gram with the eval slice (doc_id % 17 == 0 plays the benchmark).
+    The benchmark n-gram set broadcasts; the corpus is scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.ngram_contamination(corpus, bench, n=8).orderBy("doc_id", "bench_id")
+
+
+Q50_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0)
+SELECT corpus.doc_id, bench.bench_id, COUNT(*) AS n_shared
+FROM corpus JOIN bench USING (g)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 1
+ORDER BY doc_id, bench_id
+"""
+
+
+# --- q51: token-budget shard packing (training export) ---------------------------------
+
+
+def q51_shard_packing(spark, sf_dir):
+    """Pack the corpus into 4096-token shards in doc_id order via the
+    two-phase distributed cumsum (functions/pack.py) — per-shard counts
+    prove every shard except the last carries >= the budget."""
+    from ..functions.pack import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    sharded = assign_shards(docs, token_col="n_tokens", budget=4096, order_col="doc_id")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+Q51_SQL = """
+WITH d AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS before_t
+  FROM d
+)
+SELECT CAST(FLOOR(before_t / 4096) AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "q23_dedup_exact": q23_dedup_exact,
     "q24_ngram_jaccard": q24_ngram_jaccard,
@@ -774,6 +852,8 @@ QUERIES = {
     "q45_dataset_split": q45_dataset_split,
     "q46_curation_pipeline": q46_curation_pipeline,
     "q49_neardup_groups": q49_neardup_groups,
+    "q50_decontamination": q50_decontamination,
+    "q51_shard_packing": q51_shard_packing,
 }
 
 ORACLES = {
@@ -788,4 +868,6 @@ ORACLES = {
     "q45_dataset_split": Q45_SQL,
     "q46_curation_pipeline": Q46_SQL,
     "q49_neardup_groups": Q49_SQL,
+    "q50_decontamination": Q50_SQL,
+    "q51_shard_packing": Q51_SQL,
 }

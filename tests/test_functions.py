@@ -601,3 +601,68 @@ def test_dedup_incremental_against_corpus(spark):
     # same batch fully duplicate
     seen2 = seen.unionByName(out.select("fp"))
     assert dedup_incremental(batch, seen2).count() == 0
+
+
+def test_assign_shards_distributed_cumsum(spark):
+    """Two-phase distributed cumsum == single-machine prefix sum for any
+    partitioning; every shard except the last carries >= the budget; ids
+    are dense from 0."""
+    import random
+
+    from ocel_ocpn_lakehouse_spark.functions.pack import assign_shards
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(5, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # oracle: python prefix sum in doc_id order
+    want, run = {}, 0
+    for i, t in sorted(rows):
+        want[i] = run // 1000
+        run += t
+
+    for n_part in (1, 7, 32):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(
+                df, budget=1000, num_partitions=n_part
+            ).collect()
+        }
+        assert got == want, f"mismatch at num_partitions={n_part}"
+
+    sizes = {}
+    for i, t in rows:
+        sizes[want[i]] = sizes.get(want[i], 0) + t
+    last = max(sizes)
+    # dense ids (every doc < budget, so no shard can be skipped), and the
+    # cumulative boundary tracks the budget to within one document: the
+    # first s shards hold [s*B, s*B + max_doc_tokens) tokens
+    assert set(sizes) == set(range(last + 1))
+    run = 0
+    for s in range(last):
+        run += sizes[s]
+        assert 1000 * (s + 1) <= run < 1000 * (s + 1) + 400, (s, run)
+
+
+def test_ngram_contamination_planted(spark):
+    """A training doc embedding a benchmark doc's 8-gram is flagged;
+    unrelated docs are not (8-grams don't collide by chance)."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "completely unrelated text about parquet files and manifests here"),
+            (3, "alpha beta gamma delta epsilon zeta eta NOPE theta"),  # broken gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in ngram_contamination(corpus, bench, n=8).collect()
+    }
+    assert got == {(1, 100, 1)}
