@@ -122,6 +122,17 @@ class Table:
     def __init__(self, root: str, md: meta.TableMetadata):
         self.root = root
         self.md = md
+        # manifest-name → entry count, from parquet footers. Manifests are
+        # immutable (rewrites produce new names), so this never invalidates;
+        # repeated scans on a long append chain pay the footer reads once.
+        self._manifest_counts: dict[str, int] = {}
+
+    def _manifest_num_rows(self, manifest: str) -> int:
+        n = self._manifest_counts.get(manifest)
+        if n is None:
+            n = pq.read_metadata(os.path.join(self.metadata_dir, manifest)).num_rows
+            self._manifest_counts[manifest] = n
+        return n
 
     # ---- basics -----------------------------------------------------------
     @property
@@ -357,10 +368,7 @@ class Table:
         if snap is None or not snap.manifests:
             df = spark.createDataFrame([], schema=schema)
             return df.select(*columns) if columns else df
-        n_entries = sum(
-            pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
-            for m in snap.manifests
-        )
+        n_entries = sum(self._manifest_num_rows(m) for m in snap.manifests)
         if n_entries > self.prop_int("scan.plan-distributed-threshold", 10_000):
             pairs = self._plan_scan_distributed(spark, snap, prune)
         else:
@@ -422,10 +430,12 @@ class Table:
         # JVM prefilter for partition '='/'in' predicates: a point-lookup on
         # a 10^7-file table should not stream every entry through Python.
         # Strictly conservative — only drops rows whose partition key is
-        # PRESENT and provably excluded (get_json_object renders both JSON
-        # 3 and "3" as '3', so int/string values compare stably; floats and
-        # bools are skipped); absent keys pass through to the authoritative
-        # entry_matches verdict below.
+        # PRESENT and provably excluded. Conservative means matching every
+        # JSON rendering Python equality would accept: an int predicate 3
+        # must keep a stored float 3.0 ('3.0') and a stored bool true
+        # (Python 1 == True), so those renderings join the accept set.
+        # Absent keys pass through to the authoritative entry_matches
+        # verdict below.
         for p in preds:
             if p.op not in ("=", "in") or not p.column.startswith("_p_"):
                 continue
@@ -434,8 +444,15 @@ class Table:
                 isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals
             ):
                 continue
+            accept: set[str] = set()
+            for v in vals:
+                accept.add(str(v))
+                if isinstance(v, int):
+                    accept.add(str(float(v)))  # stored double: 3 ≙ '3.0'
+                    if v in (0, 1):
+                        accept.add("true" if v else "false")  # stored bool
             jv = F.get_json_object("partition", f"$.{p.column}")
-            edf = edf.filter(jv.isNull() | jv.isin([str(v) for v in vals]))
+            edf = edf.filter(jv.isNull() | jv.isin(sorted(accept)))
 
         def _prune_batches(batches):
             import pandas as pd
@@ -507,7 +524,10 @@ class Table:
             try:
                 dv_bytes += os.path.getsize(os.path.join(self.root, p))
             except OSError:
-                dv_bytes += DV_BROADCAST_MAX_BYTES  # unknown size: don't broadcast
+                # unknown size: force the shuffle-join route outright (a
+                # cap-sized increment would still pass the <= check when
+                # it is the only DV file)
+                dv_bytes += DV_BROADCAST_MAX_BYTES + 1
         if dv_bytes <= DV_BROADCAST_MAX_BYTES:
             dv = F.broadcast(dv)
         survivors = ddf.join(dv, ["_fp", "_pos"], "left_anti").select(*cols)
@@ -658,10 +678,14 @@ class Table:
         raise meta.ConflictError(f"commit failed after retries on {self.root}")
 
     def append(
-        self, df: DataFrame, num_files: int | None = None, distribution: str = "hash"
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        distribution: str = "hash",
+        extra_summary: dict | None = None,
     ) -> meta.Snapshot:
         entries = self.write_data_files(df, num_files=num_files, distribution=distribution)
-        return self.commit_append(entries)
+        return self.commit_append(entries, extra_summary=extra_summary)
 
     def commit_append(
         self, entries: list[mf.ManifestEntry], extra_summary: dict | None = None
@@ -756,10 +780,7 @@ class Table:
                 # numeric removed count from manifest footers only (no entry
                 # materialization — replace_all exists to avoid exactly that)
                 n_removed = (
-                    sum(
-                        pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
-                        for m in snap.manifests
-                    )
+                    sum(self._manifest_num_rows(m) for m in snap.manifests)
                     if snap
                     else 0
                 )

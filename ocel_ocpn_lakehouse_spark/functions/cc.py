@@ -74,8 +74,17 @@ def connected_components(
         n_changed = nxt.agg(F.sum("changed")).first()[0] or 0
         labels = nxt.drop("changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting max_iter without a fixpoint means some component has
+    # diameter > max_iter and its labels are WRONG (one real cluster would
+    # split into several, each claiming a survivor — silent under-deletion
+    # downstream). Fail loudly; callers with legitimately long chains pass
+    # a larger max_iter.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"({n_changed} labels still changing) — a component's diameter "
+        f"exceeds max_iter; raise max_iter"
+    )
 
 
 def near_dup_groups(

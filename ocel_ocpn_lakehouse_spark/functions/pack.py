@@ -40,8 +40,15 @@ def assign_shards(
     when every doc is smaller than the budget, shard ids are dense."""
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    p = docs.repartitionByRange(n_part, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialize ONE range partitioning before anything reads it: the
+    # offsets aggregate and the final window are separate jobs, and
+    # RangePartitioner re-samples per execution (seed derives from the RDD
+    # id) — without the checkpoint the two jobs could pick different
+    # boundaries and the offsets would correct the wrong partitions
+    p = (
+        docs.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = {
         r["_pid"]: int(r["_tot"])

@@ -401,11 +401,13 @@ def ivf_index_table(
             },
         ),
     )
-    t.append(df)
-    if source_table is not None:
-        snap = source_table.current_snapshot()
-        if snap is not None:
-            _stamp_ivf_source(t, snap.snapshot_id)
+    src_snap = source_table.current_snapshot() if source_table is not None else None
+    t.append(
+        df,
+        extra_summary=(
+            {"ivf-source-snapshot-id": int(src_snap.snapshot_id)} if src_snap else None
+        ),
+    )
     return t
 
 
@@ -478,8 +480,18 @@ def ivf_index_refresh(
         )
         n = int(dfc.count())
         if n:
-            index_table.append(dfc)
-        _stamp_ivf_source(index_table, cur.snapshot_id)
+            # the freshness stamp rides IN the append commit: a crash
+            # cannot leave rows indexed without the snapshot recorded, so
+            # a rerun never re-appends the same delta (the two-commit form
+            # had exactly that duplication window)
+            index_table.append(
+                dfc, extra_summary={"ivf-source-snapshot-id": int(cur.snapshot_id)}
+            )
+            index_table.refresh()
+        else:
+            # empty delta: nothing to commit — restamp the latest snapshot
+            # (idempotent; a crash just repeats the empty refresh)
+            _stamp_ivf_source(index_table, cur.snapshot_id)
         return {
             "status": "refreshed-incremental",
             "rows_indexed": n,

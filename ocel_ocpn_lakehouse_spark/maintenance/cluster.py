@@ -58,6 +58,12 @@ from .checkpoint import SystemTables
 ZKEY_COL = "_zkey"
 _IMAGE_KEY_COLS = ("phash", "w", "h", "image_id")
 
+# bounds path switch: exact executor-side order statistics pool one table
+# partition's sample (~1k keys per output bucket) in one Arrow task; above
+# this many sampled keys per partition, route to the JVM percentile_approx
+# sketch so no single task holds the pool
+BOUNDS_EXACT_MAX_SAMPLES = 4_000_000
+
 
 def _curve_spec(table: Table, curve: str, key_cols: list[str] | None) -> dict:
     """Resolve the clustering curve to (spark expr, numpy fn inputs).
@@ -310,17 +316,41 @@ def execute_cluster(
                  "bound": ks[idxs].astype("int64")}
             )
 
-        bound_rows = (
-            files_df.mapInPandas(_sample_keys, "pkey string, k long")
-            .groupBy("pkey")
-            .applyInPandas(_bounds_of_group, "pkey string, i long, bound long")
-            .collect()
-        )
-        by_pk: dict[str, list[tuple[int, int]]] = {}
-        for r in bound_rows:
-            by_pk.setdefault(r["pkey"], []).append((int(r["i"]), int(r["bound"])))
-        for pk, pairs in by_pk.items():
-            bounds_by_pkey[pk] = [b for _, b in sorted(pairs)]
+        sample_df = files_df.mapInPandas(_sample_keys, "pkey string, k long")
+        if max(nb_map.values(), default=0) * 1_000 > BOUNDS_EXACT_MAX_SAMPLES:
+            # a single table partition's sample would concentrate in ONE
+            # applyInPandas task (pandas sort of 10^8+ longs) — switch to
+            # the JVM t-digest sketch: fixed quantile grid per partition,
+            # bounded memory at every stage, driver slices the grid to the
+            # nb−1 bounds. Sketch error shifts file-size balance only —
+            # row placement searchsorts against whatever bounds all tasks
+            # share, and the row-count guard still gates the commit.
+            grid_n = min(10_000, 2 * max(nb_map.values()))
+            grid = [i / grid_n for i in range(1, grid_n)]
+            rows = (
+                sample_df.groupBy("pkey")
+                .agg(F.percentile_approx("k", grid, 10_000).alias("qs"))
+                .collect()
+            )
+            for r in rows:
+                nb = nb_map.get(r["pkey"], 1)
+                qs = r["qs"]
+                if nb > 1 and qs:
+                    bounds_by_pkey[r["pkey"]] = [
+                        int(qs[min(len(qs) - 1, max(0, (i * grid_n) // nb - 1))])
+                        for i in range(1, nb)
+                    ]
+        else:
+            bound_rows = (
+                sample_df.groupBy("pkey")
+                .applyInPandas(_bounds_of_group, "pkey string, i long, bound long")
+                .collect()
+            )
+            by_pk: dict[str, list[tuple[int, int]]] = {}
+            for r in bound_rows:
+                by_pk.setdefault(r["pkey"], []).append((int(r["i"]), int(r["bound"])))
+            for pk, pairs in by_pk.items():
+                bounds_by_pkey[pk] = [b for _, b in sorted(pairs)]
     phases["bounds"] = time.time() - t_bounds
 
     # combo = (partition, range bucket) → dense index; combos are metadata

@@ -243,6 +243,25 @@ def plan_compaction_distributed(
     return groups
 
 
+# manifests beyond this many entries plan distributed (entries never
+# materialize driver-side); shared by execute_compaction and --op auto
+PLAN_DISTRIBUTED_THRESHOLD = 10_000
+
+
+def plan_auto(
+    spark: SparkSession,
+    table: Table,
+    include_all: bool = False,
+    min_group_files: int = 2,
+) -> list[FileGroup]:
+    """Planner routing in ONE place: driver FFD for small manifests,
+    distributed over entries_df beyond PLAN_DISTRIBUTED_THRESHOLD."""
+    n_entries = table.entries_df(spark).count()
+    if n_entries > PLAN_DISTRIBUTED_THRESHOLD:
+        return plan_compaction_distributed(spark, table, include_all, min_group_files)
+    return plan_compaction(table, include_all, min_group_files)
+
+
 def estimate_files_after(table: Table) -> int:
     """The reference's simulation formula (ops/maintenance_system.py:139-141)."""
     total = sum(e.size_bytes for e in table.live_entries())
@@ -282,13 +301,7 @@ def execute_compaction(
     if snap is None:
         return {"status": "empty-table", "groups": 0}
     if groups is None:
-        # planner routing: small manifests plan on the driver; big ones
-        # plan distributed (entries never materialize driver-side)
-        n_entries = table.entries_df(spark).count()
-        if n_entries > 10_000:
-            groups = plan_compaction_distributed(spark, table)
-        else:
-            groups = plan_compaction(table)
+        groups = plan_auto(spark, table)
     phases["plan"] = time.time() - t0
     if not groups:
         return {"status": "healthy", "groups": 0}

@@ -142,15 +142,15 @@ def main(argv=None) -> int:
             # decide via the compaction planner, not score heuristics: it
             # emits groups only when a rewrite can actually merge >=2 files
             # or absorb tombstones, so a small-but-packed table is 'none'
-            # instead of looping on an avg-size threshold
-            from .compact import plan_compaction, plan_compaction_distributed
+            # instead of looping on an avg-size threshold. Health pre-gates
+            # the probe — a table with no small-file or tombstone debt
+            # skips the planning job entirely (at 10^6 files that probe is
+            # itself a distributed job worth not paying twice).
+            from .compact import plan_auto
 
-            n_entries = t.entries_df(spark).count()
-            plan = (
-                plan_compaction_distributed(spark, t)
-                if n_entries > 10_000
-                else plan_compaction(t)
-            )
+            plan = []
+            if h.small_files >= 2 or h.tombstoned_files > 0:
+                plan = plan_auto(spark, t)
             rep["plan_groups"] = len(plan)
             needs_rewrite = bool(plan)
             if needs_rewrite:

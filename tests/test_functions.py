@@ -666,3 +666,47 @@ def test_ngram_contamination_planted(spark):
         for r in ngram_contamination(corpus, bench, n=8).collect()
     }
     assert got == {(1, 100, 1)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must FAIL, not silently
+    return split groups that each claim a survivor."""
+    import pytest as _pytest
+
+    from ocel_ocpn_lakehouse_spark.functions.cc import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and converges fine with enough rounds
+    got = {r["component"] for r in connected_components(chain, max_iter=20).collect()}
+    assert got == {0}
+
+
+def test_ivf_refresh_stamp_is_atomic_with_append(spark, tmp_path):
+    """The freshness stamp rides in the SAME append commit as the delta
+    rows: the latest snapshot must carry both the rows and the
+    ivf-source-snapshot-id, so no crash window can leave rows indexed but
+    unrecorded (which would re-append the delta on rerun)."""
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("ann.src", emb.schema, TableSpec())
+    src.append(emb.filter(F.col("vec_id") % 2 == 0))
+    t = S.ivf_index_table(spark, cat, "ann.emb", n_cells=4, iters=1, source_table=src)
+
+    # build commit itself carries the stamp
+    assert t.current_snapshot().summary.get("ivf-source-snapshot-id") is not None
+
+    src.append(emb.filter(F.col("vec_id") % 2 == 1))
+    src.refresh()
+    r = S.ivf_index_refresh(spark, t, src)
+    assert r["status"] == "refreshed-incremental" and r["rows_indexed"] > 0
+    snap = t.refresh().current_snapshot()
+    assert snap.operation == "append"
+    assert int(snap.summary["ivf-source-snapshot-id"]) == src.current_snapshot().snapshot_id
+    assert int(snap.summary["added-records"]) == r["rows_indexed"]
+    # idempotent: nothing to re-append
+    assert S.ivf_index_refresh(spark, t, src)["status"] == "fresh"

@@ -846,3 +846,39 @@ def test_cli_auto_op_runs_only_whats_needed(spark, warehouse, capsys):
     rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["actions"] == ["none"]
     assert "rewrite" not in rep2
+
+
+def test_cluster_sketch_bounds_path_equivalence(spark, warehouse, monkeypatch):
+    """Forcing the percentile_approx bounds path (the route for partitions
+    whose sample would concentrate in one Arrow task) must still produce a
+    committed, scan-equivalent clustering — sketch error may shift file
+    sizes, never rows."""
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA, synth_images_df
+    from ocel_ocpn_lakehouse_spark.maintenance import cluster as cluster_mod
+
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={
+                "write.target-file-size-bytes": str(256 * 1024),
+                "compact.small-file-bytes": str(128 * 1024),
+            },
+        ),
+    )
+    t.append(synth_images_df(spark, n_rows=400, seed=5), num_files=16, distribution="fragment")
+    want = t.scan(spark).selectExpr(
+        "count(*) n", "sum(cast(xxhash64(md5(bytes)) as decimal(38,0))) b"
+    ).first()
+
+    monkeypatch.setattr(cluster_mod, "BOUNDS_EXACT_MAX_SAMPLES", 1)  # force sketch
+    r = execute_cluster(spark, t, SystemTables(cat.warehouse), "ocel.images", curve="zorder")
+    assert r["status"] == "committed"
+    t = t.refresh()
+    got = t.scan(spark).selectExpr(
+        "count(*) n", "sum(cast(xxhash64(md5(bytes)) as decimal(38,0))) b"
+    ).first()
+    assert tuple(got) == tuple(want)
