@@ -6,6 +6,6 @@ upgrade path: a file-drop directory tailed by ``readStream`` with
 exactly-once appends into our table format via epoch-guarded commits.
 """
 
-from .ingest import stream_append, stream_upserts
+from .ingest import stream_append, stream_dedup_ingest, stream_upserts
 
-__all__ = ["stream_append", "stream_upserts"]
+__all__ = ["stream_append", "stream_dedup_ingest", "stream_upserts"]

@@ -130,3 +130,58 @@ def stream_upserts(
         spark, table, source_dir, schema, checkpoint_dir, stream_id,
         max_files_per_trigger, apply_batch,
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    table: Table,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_id: str = "dedup-ingest",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming DEDUPLICATED ingest: each micro-batch lands only
+    fingerprint-new documents (functions/dedup.py dedup_incremental —
+    in-batch min-id survivor, then anti-join against the corpus), with
+    the SAME exactly-once epoch guard as stream_append.
+
+    The seen-set IS the corpus table: accepted rows persist their ``fp``
+    column, so the anti-join side is one column-pruned scan of the table
+    and the rows + the seen-set update are ONE atomic snapshot — there is
+    no second bookkeeping table to drift from the data (a separate
+    seen-table would need a cross-table transaction the format doesn't
+    have). Cost per batch ∝ batch + corpus fp column; the replay path
+    is doubly safe: the epoch guard skips committed batches, and even a
+    forced re-run would find every fingerprint already present."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import dedup_incremental
+
+    out_cols = schema.fieldNames() + ["fp"]
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if table.current_snapshot() is None:
+            seen = spark.createDataFrame([], "fp string")
+        else:
+            seen = table.scan(spark, columns=["fp"])
+        accepted = dedup_incremental(
+            batch_df, seen, text_col=text_col, id_col=id_col
+        ).select(*out_cols)
+        entries = table.write_data_files(accepted)
+        table.commit_append(
+            entries,
+            extra_summary={
+                "stream-id": stream_id,
+                "stream-epoch": epoch_id,
+                # from the written footers — never a second anti-join run
+                "dedup-accepted": sum(e.record_count for e in entries),
+            },
+        )
+
+    return _drain_exactly_once(
+        spark, table, source_dir, schema, checkpoint_dir, stream_id,
+        max_files_per_trigger, apply_batch,
+    )

@@ -194,3 +194,46 @@ def test_stream_upserts_cdc_exactly_once_mor(spark, tmp_path):
     got2 = {r["id"]: r["v"] for r in t.scan(spark).collect()}
     assert all(i not in got2 for i in range(5)) and got2[5] == "b"
     assert len(got2) == len(got) - 5
+
+
+def test_stream_dedup_ingest_exactly_once(spark, tmp_path):
+    """Streaming deduplicated ingest: each micro-batch lands only
+    fingerprint-new docs (in-batch survivor + anti-join vs the corpus,
+    whose fp column IS the seen-set), atomically with the epoch marker;
+    replays and re-drains are no-ops."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.streaming import stream_dedup_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "wh"))
+    st = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_schema = T.StructType(list(st.fields) + [T.StructField("fp", T.StringType())])
+    t = cat.create_table("ns.docs", out_schema)
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        st,
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    n = stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    assert n >= 1
+    t = t.refresh()
+    assert {r["doc_id"] for r in t.scan(spark).collect()} == {1, 2}  # 3 is in-batch dup
+
+    # second drop: one corpus dup (same text as doc 1), one new
+    spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "brand new text here")], st
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    t = t.refresh()
+    assert {r["doc_id"] for r in t.scan(spark).collect()} == {1, 2, 11}
+    assert int(t.current_snapshot().summary["dedup-accepted"]) == 1
+
+    # re-drain with nothing new: no snapshots added
+    snaps = len(t.snapshots())
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    assert len(t.refresh().snapshots()) == snaps
