@@ -38,6 +38,8 @@ def connected_components(
     deterministic cluster ids with no driver-side graph state. Nodes are
     the distinct endpoints of ``edges`` (isolated nodes: union them in as
     self-edges if they must appear)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src") != F.col("dst")
     )

@@ -393,8 +393,19 @@ def dedup_incremental(
     table with 'write.bloom-columns: fp' so the anti-join probe prunes
     files at the manifest). The corpus itself is never rescanned. Returns
     the accepted rows WITH their fingerprint column (named ``fp_col``) so
-    the caller can append them to the seen-set table in the same commit."""
-    batch = new_docs.withColumn(fp_col, fingerprint(F.col(text_col)))
+    the caller can append them to the seen-set table in the same commit.
+
+    Null text cannot fingerprint: md5(null) is null, which would collapse
+    every null-text doc in a batch into one group (silent loss of distinct
+    docs) AND never match the seen-set anti-join (unbounded re-accept on a
+    forced replay). Null-text docs therefore get a per-id sentinel
+    fingerprint — each is unique (always accepted once) and persists into
+    the seen-set, so replays stay idempotent."""
+    fp = F.coalesce(
+        fingerprint(F.col(text_col)),
+        F.concat(F.lit("__null_text__"), F.col(id_col).cast("string")),
+    )
+    batch = new_docs.withColumn(fp_col, fp)
     keep = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
     batch = batch.join(keep, [id_col], "left_semi")
     return batch.join(

@@ -487,7 +487,6 @@ def ivf_index_refresh(
             index_table.append(
                 dfc, extra_summary={"ivf-source-snapshot-id": int(cur.snapshot_id)}
             )
-            index_table.refresh()
         else:
             # empty delta: nothing to commit — restamp the latest snapshot
             # (idempotent; a crash just repeats the empty refresh)

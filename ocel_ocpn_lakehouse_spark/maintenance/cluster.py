@@ -152,10 +152,12 @@ def execute_cluster(
             return {"status": "empty-table"}
         n_files = len(entries)
         part_agg: dict[str, tuple[int, int]] = {}
+        part_files: dict[str, int] = {}
         for e in entries:
             k = json.dumps(e.partition, sort_keys=True)
             b, r = part_agg.get(k, (0, 0))
             part_agg[k] = (b + e.size_bytes, r + e.live_count)
+            part_files[k] = part_files.get(k, 0) + 1
         input_ref = [e.path for e in entries]
         removed = {e.path for e in entries}
         # DV counts at plan time — the rewrite absorbs exactly these
@@ -176,6 +178,7 @@ def execute_cluster(
             return {"status": "empty-table"}
         n_files = sum(r["n"] for r in agg_rows)
         part_agg = {r["partition"]: (int(r["b"]), int(r["r"])) for r in agg_rows}
+        part_files = {r["partition"]: int(r["n"]) for r in agg_rows}
         # checkpoint rows reference the snapshot instead of materializing
         # 10^7 input paths on the driver; expiry/lineage resolve it lazily
         input_ref = [f"snapshot:{snap.snapshot_id}"]
@@ -317,7 +320,19 @@ def execute_cluster(
             )
 
         sample_df = files_df.mapInPandas(_sample_keys, "pkey string, k long")
-        if max(nb_map.values(), default=0) * 1_000 > BOUNDS_EXACT_MAX_SAMPLES:
+        # actual per-partition pool size, not the nominal rate: _sample_keys
+        # floors at 16 keys PER FILE, so a heavily fragmented partition
+        # pools 16×#files even when 1000×nb is small — both terms must
+        # clear the cap or the exact path would concentrate the blowup in
+        # one applyInPandas task
+        est_pool = max(
+            (
+                max(1_000 * nb, 16 * part_files.get(pk, 0))
+                for pk, nb in nb_map.items()
+            ),
+            default=0,
+        )
+        if est_pool > BOUNDS_EXACT_MAX_SAMPLES:
             # a single table partition's sample would concentrate in ONE
             # applyInPandas task (pandas sort of 10^8+ longs) — switch to
             # the JVM t-digest sketch: fixed quantile grid per partition,

@@ -255,8 +255,13 @@ def plan_auto(
     min_group_files: int = 2,
 ) -> list[FileGroup]:
     """Planner routing in ONE place: driver FFD for small manifests,
-    distributed over entries_df beyond PLAN_DISTRIBUTED_THRESHOLD."""
-    n_entries = table.entries_df(spark).count()
+    distributed over entries_df beyond PLAN_DISTRIBUTED_THRESHOLD. The
+    routing count comes from manifest FOOTERS (memoized on the Table —
+    the same mechanism Table.scan routes with), not a Spark count job."""
+    snap = table.current_snapshot()
+    n_entries = (
+        sum(table._manifest_num_rows(m) for m in snap.manifests) if snap else 0
+    )
     if n_entries > PLAN_DISTRIBUTED_THRESHOLD:
         return plan_compaction_distributed(spark, table, include_all, min_group_files)
     return plan_compaction(table, include_all, min_group_files)

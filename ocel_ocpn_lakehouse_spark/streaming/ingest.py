@@ -156,8 +156,6 @@ def stream_dedup_ingest(
     have). Cost per batch ∝ batch + corpus fp column; the replay path
     is doubly safe: the epoch guard skips committed batches, and even a
     forced re-run would find every fingerprint already present."""
-    from pyspark.sql import functions as F
-
     from ..functions.dedup import dedup_incremental
 
     out_cols = schema.fieldNames() + ["fp"]

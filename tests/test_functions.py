@@ -710,3 +710,24 @@ def test_ivf_refresh_stamp_is_atomic_with_append(spark, tmp_path):
     assert int(snap.summary["added-records"]) == r["rows_indexed"]
     # idempotent: nothing to re-append
     assert S.ivf_index_refresh(spark, t, src)["status"] == "fresh"
+
+
+def test_dedup_incremental_null_text_docs(spark):
+    """Null-text docs must neither collapse into one survivor (md5(null)
+    is null — distinct docs would silently vanish) nor re-accept forever
+    on replay: each gets a per-id sentinel fingerprint that persists into
+    the seen-set."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import dedup_incremental
+
+    seen = spark.createDataFrame([], "fp string")
+    batch = spark.createDataFrame(
+        [(1, "real text"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = dedup_incremental(batch, seen)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}  # nothing lost
+    fps = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert fps[2] != fps[3] and fps[2].startswith("__null_text__")
+
+    # replay with the fps recorded: fully duplicate
+    seen2 = out.select("fp")
+    assert dedup_incremental(batch, seen2).count() == 0
