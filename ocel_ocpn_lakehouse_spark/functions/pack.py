@@ -37,16 +37,23 @@ def assign_shards(
     boundary belongs to the shard its FIRST token falls in). Invariant:
     the first s shards together hold [s*budget, s*budget + max_doc_tokens)
     tokens — each boundary tracks the budget to within one document — and
-    when every doc is smaller than the budget, shard ids are dense."""
+    when every doc is smaller than the budget, shard ids are dense.
+    ``order_col`` must be a unique key (the shard map joins back on it)."""
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # the cumsum runs over a NARROW (order, tokens) projection and the
+    # resulting shard map joins back onto the corpus: a training-export
+    # corpus carries multi-KB payload columns, and materializing those to
+    # executor storage (the checkpoint below) or dragging them through the
+    # cumsum stages would dominate the job for no reason.
+    narrow = docs.select(F.col(order_col), F.col(token_col))
     # materialize ONE range partitioning before anything reads it: the
     # offsets aggregate and the final window are separate jobs, and
     # RangePartitioner re-samples per execution (seed derives from the RDD
     # id) — without the checkpoint the two jobs could pick different
     # boundaries and the offsets would correct the wrong partitions
     p = (
-        docs.repartitionByRange(n_part, F.col(order_col))
+        narrow.repartitionByRange(n_part, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -64,12 +71,15 @@ def assign_shards(
         spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    shard_map = (
         p.join(off, "_pid")
         .withColumn(
             "_before",
             F.col("_offset") + F.sum(token_col).over(w) - F.col(token_col),
         )
-        .withColumn("shard", F.floor(F.col("_before") / budget).cast("int"))
-        .drop("_pid", "_offset", "_before")
+        .select(
+            F.col(order_col),
+            F.floor(F.col("_before") / budget).cast("int").alias("shard"),
+        )
     )
+    return docs.join(shard_map, order_col)
