@@ -627,26 +627,6 @@ def q40_embedding_neardup_lsh(spark, sf_dir):
     return S.lsh_neardup_pairs(emb, threshold=0.45)
 
 
-# --- q41: IVF ANN — k-means coarse quantizer + nprobe cell search (self-checked) ---------
-
-
-def q41_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k with the q28-style recall self-check column:
-    in_exact_topk marks whether each IVF neighbor is in the brute-force
-    top-k for the same query. k-means training is Lloyd-as-DataFrame-jobs
-    (seeded deterministic init) -> no cross-engine oracle; pytest asserts
-    the recall floor."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    approx = S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
-    exact = S.brute_force_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
-    )
-    return approx.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
-        "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
-    )
-
-
 # --- q42: IVF index as an engine table — probe-time manifest FILE pruning ----------------
 
 
@@ -657,8 +637,11 @@ def q42_ann_ivf_indexed(spark, sf_dir):
     scale the cell id is a partitioned column'. In-query self-checks:
     agrees_unindexed marks each row as identical to the in-memory ivf_topk
     with the same centroids (pruning changes I/O, never results — always
-    true is the assertion), and files_pruned/files_total quantify the
-    manifest pruning. Engine-native table + seeded k-means -> rows-only."""
+    true is the assertion), in_exact_topk marks whether each IVF neighbor
+    is in the brute-force top-k for the same query (the recall check the
+    retired q41 carried; pytest asserts the floor), and files_pruned/
+    files_total quantify the manifest pruning. Engine-native table +
+    seeded k-means -> rows-only."""
     import json
     import shutil
     import tempfile
@@ -676,6 +659,9 @@ def q42_ann_ivf_indexed(spark, sf_dir):
         mem = S.ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents).select(
             "query_id", "neighbor_id", "rank", F.lit(True).alias("agrees_unindexed")
         )
+        exact = S.brute_force_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+        )
         q = S._probe_cells(queries, cents, 4, "vec_id", "embedding")
         cells = {int(r["cell"]) for r in q.select("cell").distinct().collect()}
         entries = t.live_entries()
@@ -685,6 +671,8 @@ def q42_ann_ivf_indexed(spark, sf_dir):
         out = (
             idx.join(mem, ["query_id", "neighbor_id", "rank"], "left")
             .withColumn("agrees_unindexed", F.coalesce("agrees_unindexed", F.lit(False)))
+            .join(exact, ["query_id", "neighbor_id"], "left")
+            .withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
             .withColumn("files_total", F.lit(len(entries)))
             .withColumn("files_pruned", F.lit(len(entries) - len(kept)))
         )
@@ -845,7 +833,6 @@ QUERIES = {
     "q33_image_maintenance": q33_image_maintenance,
     "q39_embedding_neardup": q39_embedding_neardup,
     "q40_embedding_neardup_lsh": q40_embedding_neardup_lsh,
-    "q41_ann_ivf": q41_ann_ivf,
     "q42_ann_ivf_indexed": q42_ann_ivf_indexed,
     "q43_incremental_mv": q43_incremental_mv,
     "q44_mor_delete": q44_mor_delete,
