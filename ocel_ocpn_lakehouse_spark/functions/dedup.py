@@ -407,10 +407,16 @@ def dedup_incremental(
     )
     batch = new_docs.withColumn(fp_col, fp)
     keep = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
-    batch = batch.join(keep, [id_col], "left_semi")
+    # Semi-join on (fp, id), not id alone: with duplicate ids in a batch, an
+    # id-only probe would admit any row whose id coincides with SOME
+    # fingerprint's winner regardless of that row's own fingerprint.
+    batch = batch.join(keep, [fp_col, id_col], "left_semi")
     return batch.join(
         seen_fps.select(F.col(fp_col)).distinct(), [fp_col], "left_anti"
     )
+
+
+BENCH_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def ngram_contamination(
@@ -422,6 +428,7 @@ def ngram_contamination(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast_max_bytes: int = BENCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Train/eval overlap by shared word n-grams — the pretraining
     DECONTAMINATION op: a training doc sharing >= ``min_hits`` distinct
@@ -432,9 +439,14 @@ def ngram_contamination(
     Scale shape: the benchmark side is tiny (eval suites are thousands of
     docs) — its exploded n-gram set broadcasts, so the corpus pays one
     scan + one broadcast-join + one partial-agg groupBy, never a shuffle
-    of corpus n-grams. n defaults to 8 (long enough that natural reuse is
-    ~impossible, short enough to survive small edits; published pipelines
-    use 8-13)."""
+    of corpus n-grams. The 'benchmark is tiny' assumption is CHECKED, not
+    trusted: one cheap aggregation over the (distinct) benchmark n-grams
+    estimates their serialized bytes, and above ``broadcast_max_bytes``
+    (mirrors DV_BROADCAST_MAX_BYTES) the hint is dropped so a
+    million-doc 'benchmark' becomes a plain shuffle join under AQE
+    instead of an unbounded per-executor broadcast. n defaults to 8
+    (long enough that natural reuse is ~impossible, short enough to
+    survive small edits; published pipelines use 8-13)."""
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
     )
@@ -444,8 +456,14 @@ def ngram_contamination(
             F.explode(shingles(F.col(bench_text_col), n)).alias("g"),
         )
     ).distinct()
+    # ~20B row overhead (UnsafeRow + 8B id) + n-gram chars. The probe costs
+    # one pass over the benchmark side only — never the corpus.
+    est = b.agg(
+        (F.coalesce(F.sum(F.length("g")), F.lit(0)) + F.count("*") * F.lit(20)).alias("bytes")
+    ).first()["bytes"]
+    bench = F.broadcast(b) if int(est) <= broadcast_max_bytes else b
     return (
-        c.join(F.broadcast(b), "g")
+        c.join(bench, "g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_hits)

@@ -603,6 +603,53 @@ def test_dedup_incremental_against_corpus(spark):
     assert dedup_incremental(batch, seen2).count() == 0
 
 
+def test_dedup_incremental_duplicate_ids(spark):
+    """A batch that violates id uniqueness must not launder rows through
+    the survivor semi-join: a row survives only as the winner of its OWN
+    fingerprint group, so an id-collision with some other fingerprint's
+    winner cannot admit a duplicate fingerprint into the corpus."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import dedup_incremental
+
+    seen = spark.createDataFrame([], "fp string")
+    # id 1 appears twice: once as the winner of fp("aaa"), once as a dup of
+    # fp("bbb") whose winner is id 0. An id-only semi-join would keep BOTH
+    # id-1 rows (its id matches a winner), emitting fp("bbb") twice.
+    batch = spark.createDataFrame(
+        [(0, "bbb bbb bbb"), (1, "bbb bbb bbb"), (1, "aaa aaa aaa")],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(batch, seen).collect()
+    assert len(out) == 2
+    assert {(r["doc_id"], r["text"]) for r in out} == {
+        (0, "bbb bbb bbb"),
+        (1, "aaa aaa aaa"),
+    }
+    assert len({r["fp"] for r in out}) == 2  # one survivor per fingerprint
+
+
+def test_ngram_contamination_shuffle_path_identical(spark):
+    """Above the broadcast size guard the join falls back to a plain
+    shuffle join with identical output (the guard changes the physical
+    plan, never the result)."""
+    from ocel_ocpn_lakehouse_spark.functions.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "completely unrelated text about parquet files and manifests here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lambda df: {(r["doc_id"], r["bench_id"], r["n_shared"]) for r in df.collect()}
+    forced_shuffle = ngram_contamination(corpus, bench, n=8, broadcast_max_bytes=0)
+    assert "ResolvedHint" not in forced_shuffle._jdf.queryExecution().logical().toString()
+    assert rows(forced_shuffle) == rows(ngram_contamination(corpus, bench, n=8)) == {(1, 100, 1)}
+
+
 def test_assign_shards_distributed_cumsum(spark):
     """Two-phase distributed cumsum == single-machine prefix sum for any
     partitioning; every shard except the last carries >= the budget; ids
