@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from ..core import manifests as mf
 from ..core.table import Table
+from . import compact
 from .checkpoint import SystemTables
 
 ZKEY_COL = "_zkey"
@@ -144,7 +145,11 @@ def execute_cluster(
         "0L, (a, x) -> a + x.count), 0L)"
     )
     if planning == "auto":
-        planning = "distributed" if edf.count() > 10_000 else "driver"
+        # routing count from memoized manifest FOOTERS (same zero-job path
+        # compact.plan_auto uses) — an edf.count() here scheduled one
+        # redundant Spark job per cluster pass
+        n_entries = sum(table._manifest_num_rows(m) for m in snap.manifests)
+        planning = "distributed" if n_entries > compact.PLAN_DISTRIBUTED_THRESHOLD else "driver"
     removed: set[str] | None
     if planning == "driver":
         entries = table.live_entries()
@@ -627,6 +632,7 @@ def execute_cluster(
         "status": "committed",
         "job_id": job_id,
         "curve": curve,
+        "planning": planning,
         "files_before": n_files,
         "files_after": len(new_entries),
         "rows": total_records,

@@ -314,6 +314,27 @@ def test_quality_gate(spark, warehouse):
     assert not rep2["passed"] and rep2["issues"].get("bad_fmt") == 1
 
 
+def test_cluster_auto_routing_schedules_no_count_job(spark, warehouse, monkeypatch):
+    """planning='auto' must route driver-vs-distributed from memoized
+    manifest footer counts (the zero-job path compact.plan_auto uses) —
+    never a Spark count job over entries_df. Enforced by making
+    DataFrame.count raise for the whole pass."""
+    from pyspark.sql import DataFrame
+
+    cat, t = fragmented_table(spark, warehouse)
+    before = column_checksums(t.scan(spark))
+
+    def _boom(self):
+        raise AssertionError("execute_cluster scheduled a DataFrame.count job")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    res = execute_cluster(spark, t, SystemTables(cat.warehouse), "ocel.images", curve="zorder")
+    monkeypatch.undo()
+    assert res["status"] == "committed" and res["planning"] == "driver"
+    t.refresh()
+    assert column_checksums(t.scan(spark)) == before
+
+
 def test_cluster_distributed_planning_parity(spark, warehouse):
     """planning='distributed' (entries stay in entries_df; the driver sees
     one aggregate row per partition and commits replace_all against the
