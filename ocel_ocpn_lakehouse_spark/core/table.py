@@ -11,13 +11,14 @@ the driver registers the files into a manifest and commits a new snapshot
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
 import uuid
 
 import pyarrow.parquet as pq
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,32 @@ class PrunePredicate:
     column: str
     op: str  # '=', '<', '<=', '>', '>=', 'in'
     value: object
+    # precomputed probe state for large 'in' sets (see prepare_predicates):
+    # without these, every manifest entry would pay an O(|values|) bounds
+    # scan plus a full re-hash of the probe set against its Bloom filter.
+    sorted_values: tuple | None = dc_field(default=None, repr=False, compare=False)
+    key_hashes: object = dc_field(default=None, repr=False, compare=False)
+
+
+def prepare_predicates(preds: Sequence[PrunePredicate]) -> list[PrunePredicate]:
+    """Precompute per-predicate probe state ONCE per scan so pruning a
+    large 'in' set (e.g. a streaming dedup batch probing the corpus
+    seen-set) is O(log n) bisect + one vectorized Bloom gather per file,
+    not O(|values|) work per file. Returns new predicate objects; the
+    originals are never mutated. Mixed/uncomparable value types fall back
+    to the unprepared (conservative) path."""
+    out = []
+    for p in preds:
+        if p.op == "in" and p.sorted_values is None:
+            vals = [v for v in p.value if v is not None]
+            try:
+                sv = tuple(sorted(vals))
+            except TypeError:
+                sv = None  # mixed types: keep the conservative any() scan
+            kh = mf.bloom_key_hashes(vals)
+            p = PrunePredicate(p.column, p.op, p.value, sorted_values=sv, key_hashes=kh)
+        out.append(p)
+    return out
 
 
 def entry_matches(e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
@@ -89,8 +116,11 @@ def entry_matches(e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
         # (prunes point lookups on ANY layout; absence = might-contain)
         bloom = e.blooms.get(p.column)
         if bloom and p.op in ("=", "in"):
-            vals = p.value if p.op == "in" else [p.value]
-            if not mf.bloom_any_contains(bloom, mf.bloom_key_hashes(vals)):
+            khashes = p.key_hashes
+            if khashes is None:
+                vals = p.value if p.op == "in" else [p.value]
+                khashes = mf.bloom_key_hashes(vals)
+            if not mf.bloom_any_contains(bloom, khashes):
                 return False
     return True
 
@@ -112,6 +142,12 @@ def _bounds_overlap(pred: PrunePredicate, lower, upper) -> bool:
         if pred.op == ">=":
             return upper >= v
         if pred.op == "in":
+            sv = pred.sorted_values
+            if sv is not None:
+                # bisect the prepared sorted probe set: any value in
+                # [lower, upper] iff the first value >= lower is <= upper
+                i = bisect.bisect_left(sv, lower)
+                return i < len(sv) and sv[i] <= upper
             return any(lower <= x <= upper for x in v)
     except TypeError:
         return True
@@ -368,6 +404,11 @@ class Table:
         if snap is None or not snap.manifests:
             df = spark.createDataFrame([], schema=schema)
             return df.select(*columns) if columns else df
+        if prune:
+            # probe state (sorted values + Bloom key hashes for 'in' sets)
+            # computed once here; both planners — and, distributed, every
+            # executor task via the pickled predicate — reuse it per file
+            prune = prepare_predicates(prune)
         n_entries = sum(self._manifest_num_rows(m) for m in snap.manifests)
         if n_entries > self.prop_int("scan.plan-distributed-threshold", 10_000):
             pairs = self._plan_scan_distributed(spark, snap, prune)
@@ -663,11 +704,20 @@ class Table:
         return entries
 
     # ---- commits ------------------------------------------------------------
-    def _commit(self, build: Callable[[meta.TableMetadata], meta.Snapshot]) -> meta.Snapshot:
-        """Optimistic-retry commit loop."""
+    def _commit(
+        self,
+        build: Callable[[meta.TableMetadata], meta.Snapshot],
+        set_properties: dict | None = None,
+    ) -> meta.Snapshot:
+        """Optimistic-retry commit loop. ``set_properties`` rides in the
+        SAME metadata commit as the snapshot — the atomicity hook for
+        bookkeeping that must never drift from the data (e.g. a stream's
+        max committed epoch, an index's source-snapshot freshness stamp)."""
         for _attempt in range(5):
             md = meta.load_metadata(self.root)
             snap = build(md)
+            if set_properties:
+                md.properties.update({k: str(v) for k, v in set_properties.items()})
             md.apply_snapshot(snap)
             try:
                 meta.commit_metadata(self.root, md, md.version)
@@ -688,7 +738,10 @@ class Table:
         return self.commit_append(entries, extra_summary=extra_summary)
 
     def commit_append(
-        self, entries: list[mf.ManifestEntry], extra_summary: dict | None = None
+        self,
+        entries: list[mf.ManifestEntry],
+        extra_summary: dict | None = None,
+        set_properties: dict | None = None,
     ) -> meta.Snapshot:
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1
@@ -706,12 +759,21 @@ class Table:
                 summary.update(extra_summary)
             return md.new_snapshot("append", manifest_list, summary)
 
-        return self._commit(build)
+        return self._commit(build, set_properties=set_properties)
 
-    def overwrite(self, df: DataFrame, num_files: int | None = None) -> meta.Snapshot:
+    def overwrite(
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        extra_summary: dict | None = None,
+        set_properties: dict | None = None,
+    ) -> meta.Snapshot:
         """Replace table contents (MV refresh path — reference
         ops/materialized_views.py:290 write_iceberg(mode='overwrite')).
-        Old files stay on disk until snapshot expiry: time travel works."""
+        Old files stay on disk until snapshot expiry: time travel works.
+        ``extra_summary``/``set_properties`` ride in the same commit so a
+        caller's bookkeeping (e.g. an index rebuild's freshness stamp)
+        cannot be split from the data by a crash."""
         entries = self.write_data_files(df, num_files=num_files)
 
         def build(md: meta.TableMetadata) -> meta.Snapshot:
@@ -719,13 +781,15 @@ class Table:
             for e in entries:
                 e.added_snapshot_id = seq
             name = mf.write_manifest(self.metadata_dir, entries, seq)
-            return md.new_snapshot(
-                "overwrite",
-                [name],
-                {"added-files": len(entries), "added-records": sum(e.record_count for e in entries)},
-            )
+            summary = {
+                "added-files": len(entries),
+                "added-records": sum(e.record_count for e in entries),
+            }
+            if extra_summary:
+                summary.update(extra_summary)
+            return md.new_snapshot("overwrite", [name], summary)
 
-        return self._commit(build)
+        return self._commit(build, set_properties=set_properties)
 
     def commit_replace(
         self,
@@ -736,6 +800,7 @@ class Table:
         replace_all: bool = False,
         expected_snapshot_id: int | None = None,
         expected_dv_counts: dict[str, int] | None = None,
+        set_properties: dict | None = None,
     ) -> meta.Snapshot:
         """Commit a rewrite: live files minus removed plus added, with a full
         manifest rewrite (T7): surviving entries are re-grouped by partition
@@ -829,7 +894,7 @@ class Table:
                 s.update(summary)
             return md.new_snapshot(operation, manifest_names, s)
 
-        return self._commit(build)
+        return self._commit(build, set_properties=set_properties)
 
     def commit_delete_vectors(
         self,
@@ -839,6 +904,7 @@ class Table:
         added_entries: list[mf.ManifestEntry] | None = None,
         operation: str = "delete",
         expected_dv_counts: dict[str, int] | None = None,
+        set_properties: dict | None = None,
     ) -> meta.Snapshot:
         """Commit a merge-on-read positional-delete: every touched data file's
         manifest entry gains a reference to ``dv_rel_path`` (Iceberg v2
@@ -900,7 +966,7 @@ class Table:
                 s.update(summary)
             return md.new_snapshot(operation, manifest_names, s)
 
-        return self._commit(build)
+        return self._commit(build, set_properties=set_properties)
 
     # ---- refs (tags) + rollback ----------------------------------------------
     def _commit_metadata_edit(self, edit: Callable[[meta.TableMetadata], None]) -> None:

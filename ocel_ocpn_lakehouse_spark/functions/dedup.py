@@ -378,6 +378,16 @@ def near_dup_survivors(
     return docs.join(losers, id_col, "left_anti")
 
 
+def batch_fingerprint(text_col: str = "text", id_col: str = "doc_id") -> Column:
+    """The incremental-dedup fingerprint expression: canonical md5 of the
+    text, with a per-id sentinel for null text (see dedup_incremental's
+    docstring for why nulls must fingerprint uniquely)."""
+    return F.coalesce(
+        fingerprint(F.col(text_col)),
+        F.concat(F.lit("__null_text__"), F.col(id_col).cast("string")),
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     seen_fps: DataFrame,
@@ -390,8 +400,10 @@ def dedup_incremental(
     fingerprint within the batch (min id), then anti-joins the corpus's
     fingerprint set — cost ∝ batch size + |seen| join side (broadcastable
     while small; at warehouse scale, persist ``seen_fps`` as an engine
-    table with 'write.bloom-columns: fp' so the anti-join probe prunes
-    files at the manifest). The corpus itself is never rescanned. Returns
+    table with 'write.bloom-columns: fp' and pass only the PRUNED probe —
+    streaming/ingest.py stream_dedup_ingest does exactly that: it scans
+    the corpus fp column under a PrunePredicate('fp','in',batch_fps) so
+    Bloom/bounds eliminate untouched files at the manifest). Returns
     the accepted rows WITH their fingerprint column (named ``fp_col``) so
     the caller can append them to the seen-set table in the same commit.
 
@@ -400,12 +412,16 @@ def dedup_incremental(
     docs) AND never match the seen-set anti-join (unbounded re-accept on a
     forced replay). Null-text docs therefore get a per-id sentinel
     fingerprint — each is unique (always accepted once) and persists into
-    the seen-set, so replays stay idempotent."""
-    fp = F.coalesce(
-        fingerprint(F.col(text_col)),
-        F.concat(F.lit("__null_text__"), F.col(id_col).cast("string")),
-    )
-    batch = new_docs.withColumn(fp_col, fp)
+    the seen-set, so replays stay idempotent.
+
+    A ``fp_col`` already present on ``new_docs`` is trusted as-is (the
+    streaming ingest path computes it once up front to drive the
+    manifest-pruned seen-set probe — recomputing md5 here would double
+    the batch's hash work)."""
+    if fp_col in new_docs.columns:
+        batch = new_docs
+    else:
+        batch = new_docs.withColumn(fp_col, batch_fingerprint(text_col, id_col))
     keep = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
     # Semi-join on (fp, id), not id alone: with duplicate ids in a batch, an
     # id-only probe would admit any row whose id coincides with SOME

@@ -165,8 +165,8 @@ def banded_signatures(
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
-    bands: int = 64,
-    planes_per_band: int = 9,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -195,7 +195,21 @@ def lsh_neardup_pairs(
     Scale shape: the self-join keys on (band, bucket) — candidate volume
     is sum of per-bucket C(n,2), never all-pairs; buckets shard across the
     cluster and skewed buckets split under AQE. Vector payloads join back
-    by id AFTER pair dedup, so wide arrays move once per surviving pair."""
+    by id AFTER pair dedup, so wide arrays move once per surviving pair.
+
+    Default banding is THRESHOLD-ADAPTIVE (unset bands/planes_per_band):
+    the 1-(1-p^r)^b S-curve means one (b, r) cannot serve both regimes.
+    At dup thresholds (>=0.8) long bands dominate — b=8/r=16 measured
+    recall 0.9997 with ZERO spurious candidates on a 200k-vector stress
+    (BENCH/ANN_STRESS.md), where the loose setting hauls 12.5% of ALL
+    random pairs through exact verification. Below 0.8 the curve inverts:
+    b=8/r=16 at s=0.45 collides with prob ~0.008 (useless), so the loose
+    regime keeps b=64/r=9 (~0.73 at s=0.45). Pass both explicitly to
+    override either regime."""
+    if bands is None or planes_per_band is None:
+        if bands is not None or planes_per_band is not None:
+            raise ValueError("set both bands and planes_per_band, or neither")
+        bands, planes_per_band = (8, 16) if threshold >= 0.8 else (64, 9)
     planes = hyperplanes(dim, bands * planes_per_band, seed)
     c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
     banded = banded_signatures(corpus, planes, bands, planes_per_band, id_col, vec_col)
@@ -499,11 +513,16 @@ def ivf_index_refresh(
     full = source_table.scan(spark).withColumn(
         "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
     )
-    index_table.overwrite(full)
-    _stamp_ivf_source(index_table, cur.snapshot_id)
+    # one commit: the freshness stamp rides IN the overwrite (a crash can
+    # no longer leave a fresh index stamped stale and trigger a redundant
+    # rebuild), and rows_indexed comes from the written footers instead of
+    # a second full scan+assignment pass
+    snap = index_table.overwrite(
+        full, extra_summary={"ivf-source-snapshot-id": int(cur.snapshot_id)}
+    )
     return {
         "status": "rebuilt",
-        "rows_indexed": int(full.count()),
+        "rows_indexed": int(snap.summary["added-records"]),
         "source_snapshot_id": cur.snapshot_id,
     }
 

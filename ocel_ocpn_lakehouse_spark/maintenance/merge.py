@@ -275,6 +275,7 @@ def merge_into(
     planning: str = "auto",  # auto | driver | distributed
     strategy: str | None = None,  # cow | mor (default: table write.merge.mode, else cow)
     extra_summary: dict | None = None,  # merged into the commit summary (e.g. stream epoch)
+    set_properties: dict | None = None,  # atomic with the commit (e.g. stream max-epoch)
 ) -> dict:
     t0 = time.time()
     strategy = (strategy or table.properties.get("write.merge.mode", "cow")).lower()
@@ -492,6 +493,7 @@ def merge_into(
                     **(extra_summary or {}),
                 },
                 expected_dv_counts={e.path: len(e.deletes) for e in touched_entries},
+                set_properties=set_properties,
             )
             return {
                 "status": "committed",
@@ -567,6 +569,7 @@ def merge_into(
             # set (the CoW rewrite absorbed exactly those tombstones);
             # conflict if a concurrent delete grew any of them since
             expected_dv_counts={e.path: len(e.deletes) for e in touched_entries},
+            set_properties=set_properties,
         )
         dur_ms = int((time.time() - t0) * 1000)
         if sys_tables:

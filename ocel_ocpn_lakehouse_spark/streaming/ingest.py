@@ -13,15 +13,39 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from ..core.table import Table
+from ..core.table import PrunePredicate, Table
+
+
+def _max_epoch_prop(stream_id: str) -> str:
+    return f"stream.{stream_id}.max-epoch"
 
 
 def _committed_epochs(table: Table, stream_id: str) -> set[int]:
+    """Fallback epoch index: walk snapshot summaries. Only consulted when
+    the max-epoch property is absent or behind (tables written before the
+    property existed) — it cannot see epochs whose snapshots EXPIRED, and
+    it re-walks every retained snapshot per batch, which is why the
+    property is the primary guard."""
     out = set()
     for s in table.snapshots():
         if s.summary.get("stream-id") == stream_id and "stream-epoch" in s.summary:
             out.add(int(s.summary["stream-epoch"]))
     return out
+
+
+def _epoch_committed(table: Table, stream_id: str, epoch_id: int) -> bool:
+    """Primary guard: the per-stream max committed epoch rides in table
+    PROPERTIES, updated atomically with each batch's snapshot — one field
+    in the metadata the batch already refreshed (no per-snapshot walk) and,
+    unlike summaries, it survives snapshot expiry. foreachBatch delivers
+    epochs in increasing order per checkpoint, so max is a complete
+    record. Once present the property is authoritative — epochs arrive in
+    order, so max-epoch subsumes all earlier history and the walk never
+    runs again; only a pre-property table pays the one-time fallback."""
+    mx = table.properties.get(_max_epoch_prop(stream_id))
+    if mx is not None:
+        return epoch_id <= int(mx)
+    return epoch_id in _committed_epochs(table, stream_id)
 
 
 def _drain_exactly_once(
@@ -37,13 +61,14 @@ def _drain_exactly_once(
     """Shared exactly-once scaffold: readStream → foreachBatch with the
     epoch guard → availableNow drain. ``apply_batch(batch_df, epoch_id)``
     must COMMIT the batch with the stream-id/epoch markers riding in the
-    snapshot summary (atomic with the row changes). Returns the number of
-    batches committed this run."""
+    snapshot summary AND ``set_properties=epoch_properties(...)`` so the
+    max-epoch guard advances atomically with the rows. Returns the number
+    of batches committed this run."""
     committed = {"n": 0}
 
     def sink(batch_df, epoch_id: int) -> None:
         table.refresh()
-        if epoch_id in _committed_epochs(table, stream_id):
+        if _epoch_committed(table, stream_id, int(epoch_id)):
             return  # replayed batch after restart — already committed
         if batch_df.isEmpty():
             return
@@ -80,7 +105,9 @@ def stream_append(
     def apply_batch(batch_df, epoch_id: int) -> None:
         entries = table.write_data_files(batch_df)
         table.commit_append(
-            entries, extra_summary={"stream-id": stream_id, "stream-epoch": epoch_id}
+            entries,
+            extra_summary={"stream-id": stream_id, "stream-epoch": epoch_id},
+            set_properties={_max_epoch_prop(stream_id): epoch_id},
         )
 
     return _drain_exactly_once(
@@ -124,6 +151,7 @@ def stream_upserts(
             op_col=op_col,
             strategy=strategy,
             extra_summary={"stream-id": stream_id, "stream-epoch": epoch_id},
+            set_properties={_max_epoch_prop(stream_id): epoch_id},
         )
 
     return _drain_exactly_once(
@@ -149,26 +177,50 @@ def stream_dedup_ingest(
     the SAME exactly-once epoch guard as stream_append.
 
     The seen-set IS the corpus table: accepted rows persist their ``fp``
-    column, so the anti-join side is one column-pruned scan of the table
-    and the rows + the seen-set update are ONE atomic snapshot — there is
-    no second bookkeeping table to drift from the data (a separate
+    column, so the anti-join side is a scan of the table's fp column and
+    the rows + the seen-set update are ONE atomic snapshot — there is no
+    second bookkeeping table to drift from the data (a separate
     seen-table would need a cross-table transaction the format doesn't
-    have). Cost per batch ∝ batch + corpus fp column; the replay path
-    is doubly safe: the epoch guard skips committed batches, and even a
-    forced re-run would find every fingerprint already present."""
-    from ..functions.dedup import dedup_incremental
+    have).
+
+    The seen-set probe is manifest-PRUNED, not a corpus scan: the batch's
+    distinct fingerprints (bounded by the micro-batch, the one thing a
+    streaming driver may hold) become a ``PrunePredicate('fp','in',...)``
+    so only files whose Bloom filter / bounds might contain a batch fp
+    are read — per-batch cost ∝ batch × touched files, not corpus. Set
+    'write.bloom-columns: fp' on the table (fps are uniform md5, so
+    bounds alone never prune); without it every file conservatively
+    survives and the probe degrades to the full fp-column scan.
+    Correctness does not depend on the pruning: dropping a file is only
+    allowed when it provably holds NO batch fp (Bloom false positives
+    ADD files, never remove), so the anti-join sees every fp it could
+    match. Replay is doubly safe: the epoch guard skips committed
+    batches, and even a forced re-run finds every fingerprint present."""
+    from ..functions.dedup import batch_fingerprint, dedup_incremental
 
     out_cols = schema.fieldNames() + ["fp"]
 
     def apply_batch(batch_df, epoch_id: int) -> None:
-        if table.current_snapshot() is None:
-            seen = spark.createDataFrame([], "fp string")
-        else:
-            seen = table.scan(spark, columns=["fp"])
-        accepted = dedup_incremental(
-            batch_df, seen, text_col=text_col, id_col=id_col
-        ).select(*out_cols)
-        entries = table.write_data_files(accepted)
+        batch_fp = batch_df.withColumn("fp", batch_fingerprint(text_col, id_col))
+        # persist: the fp column feeds three consumers (the collected probe
+        # set, the in-batch survivor groupBy, the anti-join) — one md5 pass
+        batch_fp.persist()
+        try:
+            if table.current_snapshot() is None:
+                seen = spark.createDataFrame([], "fp string")
+            else:
+                fps = [r[0] for r in batch_fp.select("fp").distinct().collect()]
+                seen = table.scan(
+                    spark,
+                    columns=["fp"],
+                    prune=[PrunePredicate("fp", "in", fps)],
+                )
+            accepted = dedup_incremental(
+                batch_fp, seen, text_col=text_col, id_col=id_col
+            ).select(*out_cols)
+            entries = table.write_data_files(accepted)
+        finally:
+            batch_fp.unpersist()
         table.commit_append(
             entries,
             extra_summary={
@@ -177,6 +229,7 @@ def stream_dedup_ingest(
                 # from the written footers — never a second anti-join run
                 "dedup-accepted": sum(e.record_count for e in entries),
             },
+            set_properties={_max_epoch_prop(stream_id): epoch_id},
         )
 
     return _drain_exactly_once(

@@ -473,9 +473,18 @@ def test_ivf_index_incremental_freshness(spark, tmp_path):
     src.overwrite(emb.filter(F.col("vec_id") % 3 == 0))
     src.refresh()
     assert S.ivf_index_is_stale(t, src)
+    snaps_before = len(t.refresh().snapshots())
     r2 = S.ivf_index_refresh(spark, t, src)
     assert r2["status"] == "rebuilt"
     t.refresh()
+    # ONE commit: the overwrite itself carries the freshness stamp and its
+    # footer counts are the reported rows (no stamp-after-write window, no
+    # second full scan for reporting)
+    assert len(t.snapshots()) == snaps_before + 1
+    cur = t.current_snapshot()
+    assert cur.operation == "overwrite"
+    assert int(cur.summary["ivf-source-snapshot-id"]) == src.current_snapshot().snapshot_id
+    assert r2["rows_indexed"] == src.scan(spark).count()
     shrunk = src.scan(spark)
     want2 = {
         (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
@@ -778,3 +787,25 @@ def test_dedup_incremental_null_text_docs(spark):
     # replay with the fps recorded: fully duplicate
     seen2 = out.select("fp")
     assert dedup_incremental(batch, seen2).count() == 0
+
+
+def test_lsh_neardup_dup_regime_defaults(spark):
+    """At dup thresholds (>=0.8) the unset banding must resolve to the
+    stress-validated long-band regime (b=8/r=16 — recall 0.9997 with zero
+    spurious candidates at 200k vectors, vs 12.5% random candidate mass
+    for the loose b=64/r=9 setting; BENCH/ANN_STRESS.md): planted
+    duplicates surface, orthogonal pairs never become candidates, and
+    half-set overrides are rejected loudly."""
+    import pytest
+
+    vecs = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(6)]
+    vecs.append((100, [0.999, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of 0
+    vecs.append((101, [0.0, 0.998, 0.002, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_neardup_pairs(df, threshold=0.9, dim=8).collect()
+    }
+    assert got == {(0, 100), (1, 101)}
+    with pytest.raises(ValueError, match="both bands and planes_per_band"):
+        S.lsh_neardup_pairs(df, threshold=0.9, bands=8, dim=8)

@@ -237,3 +237,108 @@ def test_stream_dedup_ingest_exactly_once(spark, tmp_path):
     snaps = len(t.snapshots())
     stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
     assert len(t.refresh().snapshots()) == snaps
+
+
+def test_stream_dedup_ingest_pruned_seen_probe(spark, tmp_path, monkeypatch):
+    """The seen-set anti-join must NOT rescan the corpus: with
+    'write.bloom-columns: fp' on the table, the batch's fingerprints become
+    a PrunePredicate('fp','in',...) and only Bloom-surviving files are
+    read. Asserted by recording every _read_paths call during the drain —
+    the probe scan must touch strictly fewer files than the corpus holds
+    (bounds never prune uniform md5 fps; the Bloom filters do)."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.core.table import Table
+    from ocel_ocpn_lakehouse_spark.streaming import stream_dedup_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "wh"))
+    st = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_schema = T.StructType(list(st.fields) + [T.StructField("fp", T.StringType())])
+    t = cat.create_table(
+        "ns.docs_bloom",
+        out_schema,
+        TableSpec(properties={"write.bloom-columns": "fp"}),
+    )
+
+    # seed the corpus: 64 docs over 8 files, every file bloom-stamped on fp
+    seed = spark.range(0, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("seed text number "), F.col("id")).alias("text"),
+    )
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in seed.collect()], st
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    t = t.refresh()
+    n_corpus_files = len(t.live_entries())
+    assert n_corpus_files >= 4  # multi-file corpus, else pruning is vacuous
+    assert all(e.blooms.get("fp") for e in t.live_entries())
+
+    # second drop: one corpus dup (same text as doc 3) + one brand-new doc
+    spark.createDataFrame(
+        [(1000, "seed text number 3"), (1001, "never seen before")], st
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+
+    read_sizes = []
+    orig = Table._read_paths
+
+    def record(self, spark_, schema_, rel_paths):
+        read_sizes.append(len(rel_paths))
+        return orig(self, spark_, schema_, rel_paths)
+
+    monkeypatch.setattr(Table, "_read_paths", record)
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    monkeypatch.undo()
+
+    t = t.refresh()
+    ids = {r["doc_id"] for r in t.scan(spark).collect()}
+    assert 1001 in ids and 1000 not in ids  # dup rejected, new doc landed
+    # the seen probe is the only corpus read during the batch; it must have
+    # been pruned to (far) fewer files than the corpus holds
+    assert read_sizes, "seen probe never went through the scan path"
+    assert max(read_sizes) < n_corpus_files
+
+
+def test_stream_epoch_guard_uses_property_not_snapshot_walk(spark, tmp_path, monkeypatch):
+    """The per-stream max committed epoch lives in table PROPERTIES, set
+    atomically with each batch commit: the replay guard is one dict lookup
+    on already-loaded metadata (and survives snapshot expiry), never a
+    per-batch walk of snapshot summaries. Enforced by making the fallback
+    walk raise and replaying epoch 0 (fresh checkpoint, same stream-id)."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.streaming import ingest as ing
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    cat = Catalog(str(tmp_path / "wh"))
+    st = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = cat.create_table("ns.stream_prop", st)
+
+    spark.range(0, 20).select("id", F.lit("a").alias("v")).write.mode("overwrite").parquet(
+        str(src / "batch1")
+    )
+    n = ing.stream_append(spark, t, str(src / "*"), st, str(tmp_path / "ck1"), stream_id="s1")
+    assert n == 1
+    t = t.refresh()
+    assert int(t.properties["stream.s1.max-epoch"]) == 0
+    snaps = len(t.snapshots())
+
+    def boom(table, stream_id):
+        raise AssertionError("epoch guard fell back to the snapshot-summary walk")
+
+    monkeypatch.setattr(ing, "_committed_epochs", boom)
+    # fresh checkpoint → Structured Streaming restarts at epoch 0 and
+    # redelivers every source file: the property guard must skip it whole
+    ing.stream_append(spark, t, str(src / "*"), st, str(tmp_path / "ck2"), stream_id="s1")
+    monkeypatch.undo()
+    t = t.refresh()
+    assert len(t.snapshots()) == snaps
+    assert t.scan(spark).count() == 20
