@@ -170,9 +170,21 @@ def retention_analysis(table: Table, now_ms: int | None = None) -> dict:
     return {"snapshots": len(snaps), "older_30d": n30, "older_90d": n90, "recommendations": recs}
 
 
-def sweep_orphans(table: Table, dry_run: bool = False) -> dict:
+def sweep_orphans(
+    table: Table, dry_run: bool = False, older_than_hours: float = 24.0
+) -> dict:
     """Orphan-file sweep: data files on disk referenced by no snapshot
-    (reference detector: ops/fix_iceberg_registration.py:45-74)."""
+    (reference detector: ops/fix_iceberg_registration.py:45-74) — the
+    crash-recovery half of the two-phase write: publish_staged moves files
+    into data/ BEFORE the snapshot commit, so a crash in that window
+    strands exactly these files.
+
+    ``older_than_hours`` is the concurrent-writer grace period (Iceberg
+    remove_orphan_files' older_than, default 3 days): a file published by
+    an IN-FLIGHT commit is also unreferenced at list time, and sweeping it
+    would fail that writer's commit after the fact. Only files whose mtime
+    predates the grace window are deleted; pass 0 only when no writer can
+    be live (tests, single-writer recovery)."""
     referenced: set[str] = set()
     for s in table.snapshots():
         from ..core import manifests as mf
@@ -181,13 +193,23 @@ def sweep_orphans(table: Table, dry_run: bool = False) -> dict:
             referenced.add(e.path)
             for d in e.deletes:  # live delete-vector files are not orphans
                 referenced.add(d["path"])
-    orphans = []
+    cutoff = time.time() - older_than_hours * 3600.0
+    orphans, too_young = [], 0
     for dirpath, _dn, files in os.walk(table.data_dir):
         for f in files:
-            rel = os.path.relpath(os.path.join(dirpath, f), table.root)
+            ap = os.path.join(dirpath, f)
+            rel = os.path.relpath(ap, table.root)
             if rel not in referenced and f.endswith(".parquet"):
+                if os.path.getmtime(ap) > cutoff:
+                    too_young += 1  # possibly an in-flight publish: keep
+                    continue
                 orphans.append(rel)
     if not dry_run:
         for rel in orphans:
             os.remove(os.path.join(table.root, rel))
-    return {"orphans": len(orphans), "paths": orphans[:20], "dry_run": dry_run}
+    return {
+        "orphans": len(orphans),
+        "paths": orphans[:20],
+        "dry_run": dry_run,
+        "kept_in_grace": too_young,
+    }

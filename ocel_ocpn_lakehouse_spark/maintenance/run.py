@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--rows", type=int, default=5000, help="synth rows")
     ap.add_argument("--files", type=int, default=64, help="synth fragment files")
     ap.add_argument("--retention-days", type=float, default=None)
+    ap.add_argument(
+        "--orphan-grace-hours", type=float, default=24.0,
+        help="orphan sweep keeps unreferenced files younger than this "
+             "(concurrent-writer grace; 0 = sweep everything unreferenced)",
+    )
     ap.add_argument("--keep-last", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument(
@@ -171,6 +176,16 @@ def main(argv=None) -> int:
                     keep_last=args.keep_last,
                 )
                 actions.append("expire")
+            # closing tick of the autonomous pass: reclaim files stranded
+            # by crashed two-phase writes (publish happened, commit never
+            # did). The grace window keeps concurrent in-flight publishes
+            # safe, so this is always safe to run; it only costs a data-dir
+            # listing.
+            rep["orphans"] = sweep_orphans(
+                t, older_than_hours=args.orphan_grace_hours
+            )
+            if rep["orphans"]["orphans"]:
+                actions.append("sweep")
             rep["actions"] = actions or ["none"]
 
         if args.op == "expire":
@@ -184,7 +199,7 @@ def main(argv=None) -> int:
             )
 
         if args.op == "orphans":
-            rep["orphans"] = sweep_orphans(t)
+            rep["orphans"] = sweep_orphans(t, older_than_hours=args.orphan_grace_hours)
 
         if args.op == "delete":
             if not args.where:

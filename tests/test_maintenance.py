@@ -903,3 +903,69 @@ def test_cluster_sketch_bounds_path_equivalence(spark, warehouse, monkeypatch):
         "count(*) n", "sum(cast(xxhash64(md5(bytes)) as decimal(38,0))) b"
     ).first()
     assert tuple(got) == tuple(want)
+
+
+def test_orphan_sweep_after_crashed_two_phase_write(spark, warehouse):
+    """Fault injection on the two-phase write: publish_staged moves files
+    into data/ BEFORE the snapshot commit — crash there strands them. The
+    sweep (grace=0) must remove EXACTLY the stranded files; with the
+    default grace window the same just-published files are treated as a
+    possibly-in-flight commit and kept, so a concurrent writer's publish
+    can never be yanked out from under its commit."""
+    from ocel_ocpn_lakehouse_spark.images.synth import synth_images_df
+
+    cat, t = fragmented_table(spark, warehouse, n_rows=60, n_files=4)
+    before = column_checksums(t.scan(spark))
+    committed = {e.path for e in t.live_entries()}
+
+    # crash between phase 1 (publish into data/) and phase 2 (commit):
+    # write_data_files returns entries that never reach commit_append
+    stranded = {e.path for e in t.write_data_files(synth_images_df(spark, 30), num_files=2)}
+    assert stranded and stranded.isdisjoint(committed)
+
+    # within the grace window the stranded files look like an in-flight
+    # publish: kept, and reported as such
+    rep = sweep_orphans(t)  # default 24h grace
+    assert rep["orphans"] == 0 and rep["kept_in_grace"] == len(stranded)
+    for p in stranded:
+        assert os.path.exists(os.path.join(t.root, p))
+
+    # recovery sweep (no live writers → grace 0): exactly the orphans go
+    rep = sweep_orphans(t, older_than_hours=0.0)
+    assert rep["orphans"] == len(stranded)
+    assert set(rep["paths"]) <= stranded
+    for p in stranded:
+        assert not os.path.exists(os.path.join(t.root, p))
+    for p in committed:
+        assert os.path.exists(os.path.join(t.root, p))
+    assert column_checksums(t.refresh().scan(spark)) == before
+
+    # idempotent: nothing left to sweep
+    assert sweep_orphans(t, older_than_hours=0.0)["orphans"] == 0
+
+
+def test_auto_op_sweeps_orphans(spark, warehouse, tmp_path):
+    """--op auto's closing tick reclaims crashed-write orphans through the
+    CLI (grace overridden to 0 for the test, as a recovery run would)."""
+    import json as _json
+
+    from ocel_ocpn_lakehouse_spark.images.synth import synth_images_df
+    from ocel_ocpn_lakehouse_spark.maintenance.run import main as maintain_main
+
+    cat, t = fragmented_table(spark, warehouse, name="ocel.sweepme", n_rows=60, n_files=4)
+    stranded = {e.path for e in t.write_data_files(synth_images_df(spark, 30), num_files=2)}
+    out = tmp_path / "auto.json"
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = maintain_main([
+            "--warehouse", warehouse, "--table", "ocel.sweepme",
+            "--op", "auto", "--orphan-grace-hours", "0",
+        ])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["orphans"]["orphans"] == len(stranded)
+    assert "sweep" in rep["actions"]
+    for p in stranded:
+        assert not os.path.exists(os.path.join(t.root, p))
