@@ -131,6 +131,38 @@ def read_manifests(metadata_dir: str, names: Iterable[str]) -> list[ManifestEntr
 # ---- schema-evolution-aware Arrow reads --------------------------------------
 
 
+def read_tables_overlapped(
+    paths: list[str], arrow_schema=None, columns: list[str] | None = None
+) -> "pa.Table":
+    """Multi-file read through the pyarrow DATASET scanner: the I/O thread
+    prefetches and decodes the next file while the compute thread drains
+    the current one — measured 3.7x lower read task-time and ~19% faster
+    reduce-task wall than a sequential per-file read_table loop at the
+    SAME one-core budget (tools/reduce_probe_scanner.py; adopted round 4).
+    Scaling efficiency is unchanged (both forms hit the same bandwidth
+    ceiling) — this is an absolute-cost win, not a parallelism one.
+
+    With ``arrow_schema`` the scanner null-fills columns missing from
+    pre-evolution files and casts to the canonical types — the same T8
+    contract as read_table_nullfill, minus its per-file footer probe.
+    Fragment order is preserved (Scanner.to_table is ordered), so output
+    is bit-identical to the loop+concat form. Callers inside one-core
+    tasks must pa.set_io_thread_count(1) alongside set_cpu_count(1): the
+    single I/O thread is what overlaps; the default 8-thread pool times
+    16 workers would thrash the cpuset."""
+    import pyarrow.dataset as _ds
+
+    schema = None
+    if arrow_schema is not None:
+        schema = pa.schema([(f.name, f.type) for f in arrow_schema])
+    dset = _ds.dataset(paths, schema=schema, format="parquet")
+    want = None
+    if columns is not None:
+        want = [f.name for f in (arrow_schema or [])
+                if f.name in columns] if arrow_schema is not None else list(columns)
+    return dset.to_table(columns=want)
+
+
 def read_table_nullfill(path: str, arrow_schema, columns: list[str] | None = None) -> "pa.Table":
     """pyarrow read honoring additive schema evolution (T8).
 

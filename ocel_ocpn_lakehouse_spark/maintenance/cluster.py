@@ -494,6 +494,7 @@ def execute_cluster(
         import pyarrow.parquet as pq
 
         pa.set_cpu_count(1)  # one Arrow thread per one-core task
+        pa.set_io_thread_count(1)  # one prefetch thread feeds the scanner
 
         import time as _time
 
@@ -503,10 +504,12 @@ def execute_cluster(
                 tr = _time.time()
                 cdir = os.path.join(shuffle_dir, f"c{cidx}")
                 # only committed fragments — a crashed attempt's .inprogress
-                # must never be ingested
+                # must never be ingested. Overlapped scanner read: the I/O
+                # thread prefetches fragment k+1 while this thread decodes
+                # k (3.7x lower read task-time than a read_table loop;
+                # tools/reduce_probe_scanner.py)
                 frags = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-                parts = [pq.read_table(os.path.join(cdir, f)) for f in frags]
-                tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                tbl = mf.read_tables_overlapped([os.path.join(cdir, f) for f in frags])
                 ts_ = _time.time()
                 tbl = tbl.sort_by([(ZKEY_COL, "ascending")])
                 tw = _time.time()

@@ -415,12 +415,22 @@ def execute_compaction(
                 for gid, paths, dvj in zip(pdf["group_id"], pdf["paths"], pdf["dv_json"]):
                     tr = _time.time()
                     dvmap = json.loads(dvj or "{}")
+                    # DV-free files stream through ONE overlapped dataset
+                    # scan (I/O thread prefetches file k+1 while this
+                    # thread decodes k — tools/reduce_probe_scanner.py);
+                    # DV-laden files keep the per-file read because
+                    # positional tombstones index rows within ONE file
+                    dv_free = [p for p in paths if not dvmap.get(p)]
                     parts = []
+                    if dv_free:
+                        parts.append(mf.read_tables_overlapped(dv_free, arrow_schema))
                     for p in paths:
-                        t_ = mf.read_table_nullfill(p, arrow_schema)
                         dv = dvmap.get(p)
-                        if dv:  # absorb positional deletes: output is clean
-                            t_ = mf.apply_delete_vectors(t_, dv["rel"], dv["dvs"])
+                        if not dv:
+                            continue
+                        t_ = mf.read_table_nullfill(p, arrow_schema)
+                        # absorb positional deletes: output is clean
+                        t_ = mf.apply_delete_vectors(t_, dv["rel"], dv["dvs"])
                         parts.append(t_)
                     tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
                     ts_ = _time.time()
