@@ -296,6 +296,116 @@ def simhash_signatures(
     return votes.select(F.col("_id"), sig.alias("sig"))
 
 
+def simhash_md5_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, nbits: int = 62
+) -> DataFrame:
+    """(_id, sig): SimHash whose token hash is md5 — bit-for-bit reproducible
+    in any engine with md5 + string ops (the DuckDB oracle for q52 recomputes
+    it from scratch), unlike the xxhash64 production variant above.
+
+    Two 32-bit halves of the md5 hex digest supply the bit planes
+    (conv(hex,16,10) stays within signed-long range — the same cross-engine
+    trick functions/sample.py proves via q45's oracle); 62 sig bits keep
+    every shift non-negative in engines without unsigned 64-bit ints. Same
+    scale shape as simhash_signatures: one explode, one groupBy with JVM
+    bit-vote aggregates, shingles hashed exactly once. Use this where
+    cross-engine reproducibility matters (oracle checks, mixed-engine
+    warehouses); xxhash64 is ~2× cheaper and stays the default."""
+    if not 1 <= nbits <= 62:
+        raise ValueError(f"nbits must be in [1, 62], got {nbits}")
+    tok = _exploded_shingles(df, text_col, id_col, n, max_doc_freq=None)
+    h = tok.select(
+        "_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("hi"),
+    )
+    votes = h.groupBy("_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned("lo" if b < 32 else "hi", b % 32).bitwiseAND(F.lit(1))
+            ).alias(f"b{b}")
+            for b in range(nbits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(nbits):
+        vote = (F.col(f"b{b}") * 2 > F.col("n")).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(vote, b))
+    return votes.select(F.col("_id"), sig.alias("sig"))
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "_id",
+    fp_col: str = "sig",
+    max_dist: int = 3,
+    nbits: int = 64,
+    blocks: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs by Hamming distance over any ≤64-bit fingerprint
+    column (SimHash sigs, image phash64, token bitmaps): every pair with
+    ``bit_count(a ^ b) <= max_dist`` and nothing else.
+
+    Pigeonhole banding: the ``nbits`` fingerprint bits split into ``blocks``
+    disjoint contiguous blocks (``blocks >= max_dist + 1``); a pair differing
+    in ≤ max_dist bits must match EXACTLY in at least one block, so a
+    self-equi-join on (block, block_value) finds every qualifying pair, and
+    the bit_count(xor) verify filters false candidates — recall 1, precision
+    1, which is what makes the operator DuckDB-oracle-able (q52).
+
+    Scale shape: one union of ``blocks`` cheap projections, one shuffle on
+    (block, key), one distinct on the pair keys — all JVM codegen, no UDF.
+    Bucket sizes follow the fingerprint distribution; a megaclique of
+    identical fingerprints is genuinely quadratic in its OUTPUT (the pairs
+    exist), the standard preprocessing being exact-dedup first (dedup_exact)
+    so only representatives enter. More blocks than the pigeonhole minimum
+    trade more candidate-join fanout for shorter (hotter) keys; the minimum
+    ``max_dist + 1`` is the right default.
+    """
+    if blocks is None:
+        blocks = max_dist + 1
+    if blocks < max_dist + 1:
+        raise ValueError(f"pigeonhole needs blocks >= max_dist+1, got {blocks} < {max_dist + 1}")
+    if blocks > nbits:
+        raise ValueError(f"blocks={blocks} > nbits={nbits}: empty blocks break the guarantee")
+    widths = [nbits // blocks + (1 if i < nbits % blocks else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    base = fps.select(F.col(id_col).alias("_hid"), F.col(fp_col).cast("long").alias("_hfp"))
+    banded = None
+    for i in range(blocks):
+        key = F.shiftrightunsigned("_hfp", offsets[i])
+        if widths[i] < 64:  # a full-width mask literal would overflow signed long
+            key = key.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        part = base.select("_hid", "_hfp", F.lit(i).alias("block"), key.alias("key"))
+        banded = part if banded is None else banded.unionByName(part)
+    l = banded.select(F.col("_hid").alias("id_a"), F.col("_hfp").alias("fp_a"), "block", "key")
+    r = banded.select(F.col("_hid").alias("id_b"), F.col("_hfp").alias("fp_b"), "block", "key")
+    return (
+        l.join(r, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+        .distinct()
+    )
+
+
+def phash_pairs(
+    images: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_dist: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: exact Hamming ≤ max_dist over
+    the 64-bit DCT phash (images/codec.py phash64). The image-table analogue
+    of near-dup text dedup — feeds the same connected-components grouping +
+    survivor policy pipeline (functions/cc.py, near_dup_survivors). Covers
+    the reference's perceptual-duplicate detection over image+caption tables
+    at manifest scale: only the int64 phash column is scanned, never bytes."""
+    return hamming_pairs(images, id_col=id_col, fp_col=phash_col, max_dist=max_dist, nbits=64)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -303,34 +413,19 @@ def simhash_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by the
-    4 rotated 16-bit prefixes (any pair within hamming 3 of a 64-bit sig
-    shares at least one exact 16-bit block — pigeonhole over 4 blocks)."""
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via hamming_pairs
+    (pigeonhole banding + exact verify). ``prefix_bits`` sets the preferred
+    block width (default 16 → 4 blocks); when max_hamming needs more blocks
+    than that for the recall-1 guarantee, the block count rises to
+    max_hamming+1 instead of silently dropping pairs."""
     # cache: the signature aggregation would otherwise recompute once per
-    # block×side (8×) through the union self-join; at warehouse scale
+    # block×side through the union self-join; at warehouse scale
     # signatures persist to a table instead
     sigs = simhash_signatures(df, text_col, id_col).cache()
-    blocks = None
-    for i in range(64 // prefix_bits):
-        part = sigs.select(
-            "_id",
-            "sig",
-            F.lit(i).alias("block"),
-            F.shiftrightunsigned("sig", i * prefix_bits)
-            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
-            .alias("key"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
-    l = blocks.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "block", "key")
-    r = blocks.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "block", "key")
-    return (
-        l.join(r, ["block", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-    )
+    blocks = max(64 // prefix_bits, max_hamming + 1)
+    return hamming_pairs(
+        sigs, "_id", "sig", max_dist=max_hamming, nbits=64, blocks=blocks
+    ).withColumnRenamed("dist", "hamming")
 
 
 # ---- grouping survivors / incremental dedup -----------------------------------

@@ -588,21 +588,29 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
-# --- q35: approximate distinct (A12) — rows-only: HLL sketches are
-#     engine-specific, so the check is exact-vs-approx relative error -----------
+# --- q35: approximate distinct (A12) — oracled via the agreement flag: the
+#     raw HLL estimate is engine-specific (so it stays internal), but the
+#     exact count plus a within-10% approx-vs-exact flag are deterministic,
+#     and the oracle asserts the flag TRUE — a stronger check than rows-only
+#     (an out-of-tolerance sketch value-hash-fails the driver compare) -----------
 
 
 def q35_approx_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact"),
-        F.approx_count_distinct("user_id", 0.02).alias("approx"),
         (
             F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
             / F.countDistinct("user_id")
             < 0.1
         ).alias("within_10pct"),
     )
+
+
+Q35_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact, TRUE AS within_10pct
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES = {
@@ -656,4 +664,5 @@ ORACLES = {
     "q20_json_extract": Q20_SQL,
     "q21_month_derivation": Q21_SQL,
     "q22_levenshtein": Q22_SQL,
+    "q35_approx_distinct": Q35_SQL,
 }

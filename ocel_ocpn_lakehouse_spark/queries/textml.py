@@ -819,13 +819,79 @@ ORDER BY shard
 """
 
 
+# --- q52: exact Hamming near-dup over a cross-engine SimHash -------------------------
+#     (the oracle-able face of the phash/simhash near-dup family: pigeonhole
+#     banding is recall-1/precision-1, and the md5-based signature is
+#     bit-reproducible in DuckDB, so — uniquely among the LSH queries — the
+#     full near-dup pipeline gets the strong three-way driver check)
+
+
+def q52_hamming_neardup(spark, sf_dir):
+    """Near-duplicate document pairs with hamming(sig) ≤ 8 over a 62-bit
+    md5-SimHash (functions/dedup.py simhash_md5_signatures). hamming_pairs
+    is EXACT (pigeonhole: 9 blocks for d=8 → any qualifying pair equi-joins
+    on at least one block), so the result equals DuckDB's brute-force
+    O(n²) self-join bit for bit. The same operator drives perceptual image
+    near-dup on the phash64 column (phash_pairs; reference
+    image_processing/image_similarity.py-style dedup re-expressed as one
+    banded join, no pairwise pixel work)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.simhash_md5_signatures(docs, "text", "doc_id")
+    return D.hamming_pairs(sigs, "_id", "sig", max_dist=8, nbits=62)
+
+
+def _q52_sql(nbits: int = 62, max_dist: int = 8) -> str:
+    # Recomputes simhash_md5_signatures from first principles (the point:
+    # an INDEPENDENT engine reproduces the signature), then brute-forces
+    # every pair — no banding, so oracle agreement also proves the
+    # pigeonhole candidate generation lost nothing.
+    votes = ",\n         ".join(
+        f"sum(({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) AS b{b}" for b in range(nbits)
+    )
+    sig = "\n       + ".join(
+        f"(CASE WHEN b{b}*2 > n THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(nbits)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM d, unnest(generate_series(1, len(toks)-2)) t(i) WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') FROM d WHERE len(toks) < 3
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hi
+  FROM sh
+), votes AS (
+  SELECT doc_id, count(*) AS n,
+         {votes}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         {sig} AS sig
+  FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_dist}
+"""
+
+
+Q52_SQL = _q52_sql()
+
+
 QUERIES = {
     "q23_dedup_exact": q23_dedup_exact,
     "q24_ngram_jaccard": q24_ngram_jaccard,
     "q25_minhash_lsh": q25_minhash_lsh,
     "q26_simhash": q26_simhash,
     "q27_ann_cosine_topk": q27_ann_cosine_topk,
-    "q28_ann_lsh": q28_ann_lsh,
+    # q28_ann_lsh stays implemented + pytest-floored (test_functions.py) but
+    # leaves the 50-slot driver registry to admit oracled q52: its rows-only
+    # evidence was redundant with q40/q42, which keep the approximate-ANN seat.
     "q29_text_quality": q29_text_quality,
     "q30_fingerprint": q30_fingerprint,
     "q31_doc_length_hist": q31_doc_length_hist,
@@ -841,9 +907,11 @@ QUERIES = {
     "q49_neardup_groups": q49_neardup_groups,
     "q50_decontamination": q50_decontamination,
     "q51_shard_packing": q51_shard_packing,
+    "q52_hamming_neardup": q52_hamming_neardup,
 }
 
 ORACLES = {
+    "q52_hamming_neardup": Q52_SQL,
     "q39_embedding_neardup": Q39_SQL,
     "q23_dedup_exact": Q23_SQL,
     "q24_ngram_jaccard": Q24_SQL,
