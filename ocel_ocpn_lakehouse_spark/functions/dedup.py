@@ -450,27 +450,42 @@ def near_dup_survivors(
     one. Scale shape: components via functions/cc.py (O(edges) rounds),
     one window over group members only (never the full corpus), one
     anti-join to drop losers."""
+    losers = near_dup_losers(
+        docs, pairs, id_col=id_col, quality_col=quality_col, id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def near_dup_losers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The ids near_dup_survivors would DROP — one ``id_col`` column, every
+    non-survivor group member. This is the half a deletion pipeline wants
+    (maintenance/image_dedup.py tombstones exactly these rows), and it is
+    O(group members): ungrouped docs never enter the plan."""
     from pyspark.sql import Window
 
     from .cc import connected_components
 
     cc = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
     if quality_col is None:
-        losers = cc.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias(id_col)
-        )
-    else:
-        members = cc.join(
-            docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
-            "node",
-        )
-        w = Window.partitionBy("component").orderBy(F.desc("_q"), F.asc("node"))
-        losers = (
-            members.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
-            .select(F.col("node").alias(id_col))
-        )
-    return docs.join(losers, id_col, "left_anti")
+        return cc.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    members = cc.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), F.asc("node"))
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
 
 
 def batch_fingerprint(text_col: str = "text", id_col: str = "doc_id") -> Column:

@@ -41,7 +41,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.table import PrunePredicate, Table
@@ -138,6 +138,89 @@ def delete_where(
         )
     )
     hits = df.filter(cond).select("_fp", "_pos")
+    return _finalize_delete(spark, table, entries, hits, prefix, t0, sys_tables, table_name)
+
+
+def delete_keys(
+    spark: SparkSession,
+    table: Table,
+    keys: DataFrame,
+    key_col: str = "image_id",
+    sys_tables: SystemTables | None = None,
+    table_name: str = "",
+    broadcast_max_rows: int = 2_000_000,
+) -> dict:
+    """Merge-on-read delete of every row whose ``key_col`` appears in the
+    ``keys`` DataFrame — the set-driven sibling of :func:`delete_where` for
+    callers whose delete list is itself a distributed result (near-dup
+    losers, GDPR erasure batches), where an ``IN (...)`` predicate would
+    drag the whole set through the driver.
+
+    Scale shape: when the table is bucketed on ``key_col`` the candidate
+    files shrink to the buckets the keys hash into (O(distinct buckets)
+    driver rows, same pruning MERGE uses — maintenance/merge.py); the scan
+    projects only (file, pos, key), and the semi-join broadcasts the keys
+    under ``broadcast_max_rows`` else shuffles. Everything downstream
+    (tombstone exclusion → one sorted DV file → metadata-only commit with
+    DV-count conflict guards) is shared with delete_where, so re-running
+    the same key set is a no-op and concurrent file rewrites conflict
+    instead of corrupting positions."""
+    t0 = time.time()
+    if table.current_snapshot() is None:
+        return {"status": "empty-table"}
+    keys = keys.select(key_col).distinct()
+    n_keys = keys.count()  # caller caches `keys` when it is an expensive plan
+    if n_keys == 0:
+        return {"status": "no-matches", "deleted_rows": 0, "sec": round(time.time() - t0, 3)}
+    entries = table.live_entries()
+    bf = next(
+        (
+            f
+            for f in table.partition_spec.fields
+            if f.transform == "bucket" and f.source == key_col
+        ),
+        None,
+    )
+    if bf is not None:
+        buckets = {
+            r["b"]
+            for r in keys.select(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(bf.num_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        entries = [
+            e
+            for e in entries
+            if not e.partition
+            or e.partition.get(bf.name, e.partition.get(bf.partition_column)) in buckets
+        ]
+    if not entries:
+        return {"status": "no-candidate-files", "deleted_rows": 0}
+
+    root = table.root
+    prefix = f"file:{root}{os.sep}"
+    cand_paths = [os.path.join(root, e.path) for e in entries]
+    df = (
+        spark.read.schema(table.schema)
+        .parquet(*cand_paths)
+        .select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            key_col,
+        )
+    )
+    rhs = F.broadcast(keys) if n_keys <= broadcast_max_rows else keys
+    hits = df.join(rhs, key_col, "semi").select("_fp", "_pos")
+    return _finalize_delete(spark, table, entries, hits, prefix, t0, sys_tables, table_name)
+
+
+def _finalize_delete(
+    spark, table: Table, entries, hits, prefix: str, t0: float, sys_tables, table_name: str
+) -> dict:
+    """Shared delete tail: tombstone exclusion → DV write → metadata-only
+    commit guarded by the candidate entries' observed DV counts."""
     hits = exclude_existing_tombstones(spark, table, entries, hits, prefix)
     rel_dv, counts = write_delete_vector(spark, table, hits, prefix)
     if rel_dv is None:
@@ -169,6 +252,6 @@ def delete_where(
             "committed",
             [rel_dv],
             rows=result["deleted_rows"],
-            nbytes=os.path.getsize(os.path.join(root, rel_dv)),
+            nbytes=os.path.getsize(os.path.join(table.root, rel_dv)),
         )
     return result

@@ -29,9 +29,22 @@ def main(argv=None) -> int:
         choices=[
             "health", "compact", "cluster", "rewrite", "expire", "quality",
             "full", "synth", "orphans", "delete", "rollback", "tag", "auto",
+            "image-dedup",
         ],
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    ap.add_argument(
+        "--max-dist", type=int, default=6,
+        help="Hamming radius over phash64 for --op image-dedup",
+    )
+    ap.add_argument(
+        "--survivor-policy", default="resolution", choices=["resolution", "min_id"],
+        help="which member of a near-dup image group survives (--op image-dedup)",
+    )
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="--op image-dedup: plan and count losers, commit nothing",
+    )
     ap.add_argument("--where", default=None, help="SQL predicate for --op delete (MoR)")
     ap.add_argument("--snapshot-id", type=int, default=None, help="target for --op rollback")
     ap.add_argument("--name", default=None, help="tag name for --op tag")
@@ -208,6 +221,22 @@ def main(argv=None) -> int:
 
             rep["delete"] = delete_where(
                 spark, t, args.where, sys_tables=sys_tables, table_name=table_name
+            )
+
+        if args.op == "image-dedup":
+            from .image_dedup import dedup_images
+
+            rep["image_dedup"] = run_with_conflict_retry(
+                lambda: dedup_images(
+                    spark,
+                    t.refresh(),
+                    max_dist=args.max_dist,
+                    policy=args.survivor_policy,
+                    dry_run=args.dry_run,
+                    sys_tables=sys_tables,
+                    table_name=table_name,
+                ),
+                t, retries=args.retries,
             )
 
         if args.op == "rollback":
