@@ -363,22 +363,7 @@ def hamming_pairs(
     trade more candidate-join fanout for shorter (hotter) keys; the minimum
     ``max_dist + 1`` is the right default.
     """
-    if blocks is None:
-        blocks = max_dist + 1
-    if blocks < max_dist + 1:
-        raise ValueError(f"pigeonhole needs blocks >= max_dist+1, got {blocks} < {max_dist + 1}")
-    if blocks > nbits:
-        raise ValueError(f"blocks={blocks} > nbits={nbits}: empty blocks break the guarantee")
-    widths = [nbits // blocks + (1 if i < nbits % blocks else 0) for i in range(blocks)]
-    offsets = [sum(widths[:i]) for i in range(blocks)]
-    base = fps.select(F.col(id_col).alias("_hid"), F.col(fp_col).cast("long").alias("_hfp"))
-    banded = None
-    for i in range(blocks):
-        key = F.shiftrightunsigned("_hfp", offsets[i])
-        if widths[i] < 64:  # a full-width mask literal would overflow signed long
-            key = key.bitwiseAND(F.lit((1 << widths[i]) - 1))
-        part = base.select("_hid", "_hfp", F.lit(i).alias("block"), key.alias("key"))
-        banded = part if banded is None else banded.unionByName(part)
+    banded = banded_fingerprints(fps, id_col, fp_col, max_dist, nbits, blocks)
     l = banded.select(F.col("_hid").alias("id_a"), F.col("_hfp").alias("fp_a"), "block", "key")
     r = banded.select(F.col("_hid").alias("id_b"), F.col("_hfp").alias("fp_b"), "block", "key")
     return (
@@ -389,6 +374,43 @@ def hamming_pairs(
         .select("id_a", "id_b", "dist")
         .distinct()
     )
+
+
+def band_layout(max_dist: int, nbits: int = 64, blocks: int | None = None) -> list[tuple[int, int]]:
+    """[(offset, width)] of the pigeonhole blocks — the ONE place the bit
+    layout lives, shared by the pair join and the persisted index
+    (functions/hamming_index.py), which must band identically or probes
+    silently lose recall."""
+    if blocks is None:
+        blocks = max_dist + 1
+    if blocks < max_dist + 1:
+        raise ValueError(f"pigeonhole needs blocks >= max_dist+1, got {blocks} < {max_dist + 1}")
+    if blocks > nbits:
+        raise ValueError(f"blocks={blocks} > nbits={nbits}: empty blocks break the guarantee")
+    widths = [nbits // blocks + (1 if i < nbits % blocks else 0) for i in range(blocks)]
+    return [(sum(widths[:i]), widths[i]) for i in range(blocks)]
+
+
+def banded_fingerprints(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_dist: int,
+    nbits: int = 64,
+    blocks: int | None = None,
+) -> DataFrame:
+    """(_hid, _hfp, block, key): one row per (fingerprint, pigeonhole
+    block) — the banded relation both the self-join and the index probe
+    equi-join on."""
+    base = fps.select(F.col(id_col).alias("_hid"), F.col(fp_col).cast("long").alias("_hfp"))
+    banded = None
+    for i, (offset, width) in enumerate(band_layout(max_dist, nbits, blocks)):
+        key = F.shiftrightunsigned("_hfp", offset)
+        if width < 64:  # a full-width mask literal would overflow signed long
+            key = key.bitwiseAND(F.lit((1 << width) - 1))
+        part = base.select("_hid", "_hfp", F.lit(i).alias("block"), key.alias("key"))
+        banded = part if banded is None else banded.unionByName(part)
+    return banded
 
 
 def phash_pairs(

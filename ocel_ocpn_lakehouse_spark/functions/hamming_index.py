@@ -1,0 +1,280 @@
+"""Persisted Hamming-LSH index: near-dup probes that PRUNE, not scan.
+
+`hamming_pairs` (functions/dedup.py) answers "which pairs inside THIS
+DataFrame are near-dups" with one self-join. The complementary question a
+growing image corpus asks on every ingest — "which of these new rows are
+near-dups of ANYTHING already in the 10^12-image table" — must not rescan
+the corpus per batch. This module persists the banded relation as an
+ENGINE TABLE partitioned by one combined (block, bucket(key)) cell:
+
+  index rows : one (id, fp, block, key) row per fingerprint per pigeonhole
+               block — the same layout `band_layout` gives the pair join,
+               so a probe at the indexed radius keeps recall 1.
+  probe      : batch fingerprints band identically; the distinct
+               (block, key-bucket) partitions they hash into (≤ batch ×
+               blocks values, usually far fewer) become PrunePredicates,
+               so the manifest hands Spark only the files a band key can
+               possibly live in; the equi-join on (block, key) + the
+               bit_count(xor) verify finish exactly as the self-join does.
+  freshness  : the source snapshot id rides IN every index commit
+               (`hamming-source-snapshot-id`), `hamming_index_refresh`
+               catches up through the source's incremental CDC scan, and a
+               non-append-only source range rebuilds — the same M7 pattern
+               as the IVF index (functions/similarity.py:415-525).
+
+Index cost is the standard banded-LSH tradeoff: `blocks` (= max_dist+1 by
+default) narrow rows per corpus row, ~25-40 B each before parquet
+dictionary/delta encoding — paid once, amortized over every ingest batch
+that then reads only its buckets instead of the corpus.
+
+Composes with the text side's incremental dedup (dedup.dedup_incremental
+is the exact-fp analogue): `batch_neardup_filter` drops batch rows within
+``max_dist`` of any indexed corpus row, then collapses in-batch near-dup
+groups with the survivor policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.spec import PartitionField, PartitionSpec, TableSpec
+from ..core.table import PrunePredicate, Table
+from .dedup import band_layout, banded_fingerprints, hamming_pairs, near_dup_losers
+
+STAMP = "hamming-source-snapshot-id"
+
+
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_dist: int,
+    nbits: int,
+    blocks: int,
+    key_buckets: int,
+):
+    """Banded rows plus the combined partition cell. One cell per
+    (block, bucket-of-key) pair — a SINGLE identity-partitioned column, so
+    probes prune exactly the pairs they touch (two separate partition
+    predicates would only prune their cross product: any batch touching k
+    buckets in block 0 would un-prune those buckets in every block)."""
+    cell = (
+        F.col("block") * F.lit(key_buckets)
+        + F.pmod(F.xxhash64("key"), F.lit(key_buckets))
+    ).cast("int")
+    return banded_fingerprints(df, id_col, fp_col, max_dist, nbits, blocks).select(
+        F.col("_hid").alias(id_col),
+        F.col("_hfp").alias("fp"),
+        "block",
+        "key",
+        cell.alias("pcell"),
+    )
+
+
+def hamming_index_table(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    source_table: Table,
+    fp_col: str = "phash",
+    id_col: str = "image_id",
+    max_dist: int = 6,
+    nbits: int = 64,
+    blocks: int | None = None,
+    key_buckets: int = 32,
+) -> Table:
+    """Build and commit the index table for ``source_table``'s current
+    snapshot. The source scan projects only (id, fp) — image bytes never
+    enter the index build."""
+    layout = band_layout(max_dist, nbits, blocks)  # validates the banding
+    blocks = len(layout)
+    corpus = source_table.scan(spark, columns=[id_col, fp_col])
+    df = _banded(corpus, id_col, fp_col, max_dist, nbits, blocks, key_buckets)
+    t = catalog.create_table(
+        name,
+        df.schema,
+        TableSpec(
+            partition_spec=PartitionSpec(
+                (PartitionField("pcell", "identity", "pcell"),)
+            ),
+            properties={
+                "hamming.max-dist": str(max_dist),
+                "hamming.nbits": str(nbits),
+                "hamming.blocks": str(blocks),
+                "hamming.key-buckets": str(key_buckets),
+                "hamming.fp-col": fp_col,
+                "hamming.id-col": id_col,
+            },
+        ),
+    )
+    src = source_table.current_snapshot()
+    t.append(df, extra_summary={STAMP: int(src.snapshot_id)} if src else None)
+    return t
+
+
+def _props(index_table: Table) -> dict:
+    p = index_table.md.properties
+    return {
+        "max_dist": int(p["hamming.max-dist"]),
+        "nbits": int(p["hamming.nbits"]),
+        "blocks": int(p["hamming.blocks"]),
+        "key_buckets": int(p["hamming.key-buckets"]),
+        "fp_col": p["hamming.fp-col"],
+        "id_col": p["hamming.id-col"],
+    }
+
+
+def hamming_source_snapshot(index_table: Table) -> int | None:
+    snap = index_table.current_snapshot()
+    if snap is None:
+        return None
+    v = snap.summary.get(STAMP)
+    return int(v) if v is not None else None
+
+
+def hamming_index_is_stale(index_table: Table, source_table: Table) -> bool:
+    src = source_table.current_snapshot()
+    return hamming_source_snapshot(index_table) != (src.snapshot_id if src else None)
+
+
+def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table: Table) -> dict:
+    """Catch the index up to its source. Appends arrive via the source's
+    incremental scan (cost ∝ delta); anything else rebuilds. The freshness
+    stamp rides IN the data commit, so a crash can never leave rows indexed
+    without the snapshot recorded (no double-append on rerun)."""
+    from ..core.table import IncrementalScanError
+
+    cfg = _props(index_table)
+    cur = source_table.current_snapshot()
+    if cur is None:
+        return {"status": "empty-source"}
+    recorded = hamming_source_snapshot(index_table)
+    if recorded == cur.snapshot_id:
+        return {"status": "fresh", "source_snapshot_id": cur.snapshot_id}
+
+    delta = None
+    if recorded is not None:
+        try:
+            delta = source_table.incremental_scan(
+                spark, recorded, cur.snapshot_id, columns=[cfg["id_col"], cfg["fp_col"]]
+            )
+        except IncrementalScanError:
+            delta = None
+    if delta is not None:
+        rows = _banded(
+            delta,
+            cfg["id_col"],
+            cfg["fp_col"],
+            cfg["max_dist"],
+            cfg["nbits"],
+            cfg["blocks"],
+            cfg["key_buckets"],
+        )
+        n = int(rows.count())
+        if n:
+            index_table.append(rows, extra_summary={STAMP: int(cur.snapshot_id)})
+        else:
+            # nothing to commit: restamp the latest snapshot (idempotent)
+            md = index_table.md
+            md.snapshots[-1].summary[STAMP] = int(cur.snapshot_id)
+            from ..core import metadata as meta
+
+            meta.commit_metadata(index_table.root, md, md.version)
+            index_table.refresh()
+        return {"status": "refreshed-incremental", "rows_indexed": n}
+    full = _banded(
+        source_table.scan(spark, columns=[cfg["id_col"], cfg["fp_col"]]),
+        cfg["id_col"],
+        cfg["fp_col"],
+        cfg["max_dist"],
+        cfg["nbits"],
+        cfg["blocks"],
+        cfg["key_buckets"],
+    )
+    snap = index_table.overwrite(full, extra_summary={STAMP: int(cur.snapshot_id)})
+    return {"status": "rebuilt", "rows_indexed": int(snap.summary["added-records"])}
+
+
+def hamming_probe_indexed(
+    spark: SparkSession,
+    index_table: Table,
+    batch: DataFrame,
+    fp_col: str | None = None,
+    id_col: str | None = None,
+    max_dist: int | None = None,
+) -> dict:
+    """Exact near-dup pairs between ``batch`` and the indexed corpus:
+    (batch_id, corpus_id, dist) with dist ≤ max_dist — recall 1 at any
+    radius up to the indexed one (a larger radius would break the
+    pigeonhole guarantee and raises).
+
+    Returns {"pairs": DataFrame, "files_scanned": int, "files_total": int}
+    so callers (and tests) can see the manifest pruning working. The prune
+    set is EXACTLY the (block, key-bucket) cells the batch's band keys hash
+    into — one identity-partitioned ``pcell`` column, never a cross
+    product."""
+    cfg = _props(index_table)
+    if max_dist is None:
+        max_dist = cfg["max_dist"]
+    if max_dist > cfg["max_dist"]:
+        raise ValueError(
+            f"probe max_dist={max_dist} exceeds indexed radius {cfg['max_dist']}: "
+            "pairs beyond the indexed banding would be silently lost — rebuild the "
+            "index at the larger radius instead"
+        )
+    bid, bfp = id_col or cfg["id_col"], fp_col or cfg["fp_col"]
+    bands = _banded(
+        batch, bid, bfp, cfg["max_dist"], cfg["nbits"], cfg["blocks"], cfg["key_buckets"]
+    ).select(
+        F.col(bid).alias("batch_id"), F.col("fp").alias("batch_fp"), "block", "key", "pcell"
+    )
+    # distinct probe cells: bounded by blocks × key_buckets regardless of
+    # batch size, so this collect is metadata-sized by construction
+    cells = sorted(
+        int(r["pcell"]) for r in bands.select("pcell").distinct().collect()
+    )
+    prune = [PrunePredicate("_p_pcell", "in", cells)]
+    files_total = len(index_table.live_entries())
+    files_scanned = len(
+        [e for e in index_table.live_entries() if index_table._entry_matches(e, prune)]
+    )
+    scan = index_table.scan(spark, prune=prune)
+    pairs = (
+        bands.join(scan, ["block", "key"])
+        .withColumn(
+            "dist", F.bit_count(F.col("batch_fp").bitwiseXOR(F.col("fp"))).cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("batch_id", F.col(cfg["id_col"]).alias("corpus_id"), "dist")
+        .distinct()
+    )
+    return {"pairs": pairs, "files_scanned": files_scanned, "files_total": files_total}
+
+
+def batch_neardup_filter(
+    spark: SparkSession,
+    index_table: Table,
+    batch: DataFrame,
+    quality_col: str | None = None,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """The ingest-side composition: drop batch rows within ``max_dist`` of
+    any indexed corpus row (including replayed ids — a row re-ingested is
+    its own dist-0 corpus match, so replays converge like
+    dedup_incremental's exact-fp path), then collapse in-batch near-dup
+    groups to one survivor (quality-ranked when ``quality_col`` is given).
+    Returns the surviving batch rows, ready to append + index-refresh."""
+    cfg = _props(index_table)
+    bid, bfp = cfg["id_col"], cfg["fp_col"]
+    dup_ids = (
+        hamming_probe_indexed(spark, index_table, batch, max_dist=max_dist)["pairs"]
+        .select(F.col("batch_id").alias(bid))
+        .distinct()
+    )
+    fresh = batch.join(dup_ids, bid, "left_anti")
+    pairs = hamming_pairs(
+        fresh, id_col=bid, fp_col=bfp, max_dist=max_dist or cfg["max_dist"], nbits=cfg["nbits"]
+    )
+    losers = near_dup_losers(fresh, pairs, id_col=bid, quality_col=quality_col)
+    return fresh.join(losers, bid, "left_anti")
