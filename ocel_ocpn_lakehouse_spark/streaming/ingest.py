@@ -236,3 +236,65 @@ def stream_dedup_ingest(
         spark, table, source_dir, schema, checkpoint_dir, stream_id,
         max_files_per_trigger, apply_batch,
     )
+
+
+def stream_image_ingest(
+    spark: SparkSession,
+    table: Table,
+    index_table: Table,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    stream_id: str = "image-ingest",
+    quality_col: str | None = None,
+    max_dist: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming PERCEPTUALLY-DEDUPLICATED image ingest: each micro-batch
+    lands only images not within Hamming ``max_dist`` (phash) of anything
+    already in the corpus — the image-side sibling of
+    :func:`stream_dedup_ingest`, with the Hamming-LSH index table
+    (functions/hamming_index.py) as the probe side, so per-batch cost is
+    ∝ batch × touched index partitions, never ∝ corpus.
+
+    Per batch: (1) the index catches up to the corpus head through its
+    incremental CDC refresh (cost ∝ rows appended since its stamp —
+    normally just the previous batch); (2) the batch probes the index and
+    drops corpus near-dups + collapses in-batch groups to one survivor
+    (quality-ranked when ``quality_col`` is set, e.g. a resolution
+    column); (3) survivors append with the stream epoch riding IN the
+    snapshot (same exactly-once guard as stream_append); (4) the index
+    ingests the accepted rows. A crash anywhere is safe: the epoch guard
+    skips replayed batches whole, and an unindexed tail is re-absorbed by
+    the NEXT batch's leading refresh (the index freshness stamp rides in
+    its own data commits, so refresh never double-appends).
+
+    Near-dup completeness is relative to the corpus snapshot the index
+    reflects at probe time — a CONCURRENT writer appending images mid-
+    batch can slip a near-dup pair through, the inherent caveat of any
+    asynchronous index; single-writer-per-stream (this module's standing
+    assumption) closes it."""
+    from ..functions.hamming_index import batch_neardup_filter, hamming_index_refresh
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        hamming_index_refresh(spark, index_table, table)
+        accepted = batch_neardup_filter(
+            spark, index_table, batch_df, quality_col=quality_col, max_dist=max_dist
+        )
+        entries = table.write_data_files(accepted)
+        table.commit_append(
+            entries,
+            extra_summary={
+                "stream-id": stream_id,
+                "stream-epoch": epoch_id,
+                # from the written footers — never a second filter run
+                "dedup-accepted": sum(e.record_count for e in entries),
+            },
+            set_properties={_max_epoch_prop(stream_id): epoch_id},
+        )
+        hamming_index_refresh(spark, index_table, table)
+
+    return _drain_exactly_once(
+        spark, table, source_dir, schema, checkpoint_dir, stream_id,
+        max_files_per_trigger, apply_batch,
+    )
