@@ -82,13 +82,35 @@ def hamming_index_table(
     max_dist: int = 6,
     nbits: int = 64,
     blocks: int | None = None,
-    key_buckets: int = 32,
+    key_buckets: int | None = None,
+    cell_target_bytes: int = 64 * 1024 * 1024,
 ) -> Table:
     """Build and commit the index table for ``source_table``'s current
     snapshot. The source scan projects only (id, fp) — image bytes never
-    enter the index build."""
+    enter the index build.
+
+    ``key_buckets`` defaults to the FILE-SIZED geometry: each (block,
+    bucket) cell holds ≈``cell_target_bytes`` of index rows (row ≈ 32 B
+    before encoding), sized from the source's manifest footer row counts
+    (zero Spark jobs). Cells at file size are what make probe cost track
+    the batch at design scale: a 10^12-row corpus gets ~500k buckets and a
+    10k-image batch touches ≤ batch × blocks of them; a small corpus
+    honestly gets few buckets (below one file of index rows per block
+    there is nothing left to prune). Pass ``key_buckets`` explicitly to
+    trade smaller cells (stronger pruning) for more, smaller files."""
     layout = band_layout(max_dist, nbits, blocks)  # validates the banding
     blocks = len(layout)
+    # a block of width w has only 2^w distinct keys, so buckets beyond
+    # that are guaranteed-empty partitions; this cap is also the honest
+    # pruning ceiling of the structure — at d=6 over 64 bits the 7 blocks
+    # are 9-10 bits wide, so ~7k cells total: probes prune hard for
+    # micro-batch ingest (hundreds of rows), and degrade gracefully to
+    # the banded join for bulk batches (use hamming_pairs for those)
+    cap = 1 << min(w for _, w in layout)
+    if key_buckets is None:
+        n_rows = sum(e.record_count for e in source_table.live_entries())
+        key_buckets = max(1, round(n_rows * 32 / cell_target_bytes))
+    key_buckets = min(key_buckets, cap)
     corpus = source_table.scan(spark, columns=[id_col, fp_col])
     df = _banded(corpus, id_col, fp_col, max_dist, nbits, blocks, key_buckets)
     t = catalog.create_table(
@@ -109,7 +131,15 @@ def hamming_index_table(
         ),
     )
     src = source_table.current_snapshot()
-    t.append(df, extra_summary={STAMP: int(src.snapshot_id)} if src else None)
+    # hash distribution: co-locate each pcell in one task → one file per
+    # cell per append (without it, every input partition writes a sliver
+    # of every cell: #partitions × #cells tiny files)
+    t.append(
+        df,
+        num_files=spark.sparkContext.defaultParallelism,
+        distribution="hash",
+        extra_summary={STAMP: int(src.snapshot_id)} if src else None,
+    )
     return t
 
 
@@ -173,7 +203,12 @@ def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table:
         )
         n = int(rows.count())
         if n:
-            index_table.append(rows, extra_summary={STAMP: int(cur.snapshot_id)})
+            index_table.append(
+                rows,
+                num_files=spark.sparkContext.defaultParallelism,
+                distribution="hash",
+                extra_summary={STAMP: int(cur.snapshot_id)},
+            )
         else:
             # nothing to commit: restamp the latest snapshot (idempotent)
             md = index_table.md
@@ -192,7 +227,11 @@ def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table:
         cfg["blocks"],
         cfg["key_buckets"],
     )
-    snap = index_table.overwrite(full, extra_summary={STAMP: int(cur.snapshot_id)})
+    snap = index_table.overwrite(
+        full,
+        num_files=spark.sparkContext.defaultParallelism,
+        extra_summary={STAMP: int(cur.snapshot_id)},
+    )
     return {"status": "rebuilt", "rows_indexed": int(snap.summary["added-records"])}
 
 
@@ -209,8 +248,9 @@ def hamming_probe_indexed(
     radius up to the indexed one (a larger radius would break the
     pigeonhole guarantee and raises).
 
-    Returns {"pairs": DataFrame, "files_scanned": int, "files_total": int}
-    so callers (and tests) can see the manifest pruning working. The prune
+    Returns {"pairs": DataFrame, "files_scanned"/"files_total",
+    "bytes_scanned"/"bytes_total"} so callers (and tests) can see the
+    manifest pruning working in both file and byte terms. The prune
     set is EXACTLY the (block, key-bucket) cells the batch's band keys hash
     into — one identity-partitioned ``pcell`` column, never a cross
     product."""
@@ -235,10 +275,11 @@ def hamming_probe_indexed(
         int(r["pcell"]) for r in bands.select("pcell").distinct().collect()
     )
     prune = [PrunePredicate("_p_pcell", "in", cells)]
-    files_total = len(index_table.live_entries())
-    files_scanned = len(
-        [e for e in index_table.live_entries() if index_table._entry_matches(e, prune)]
-    )
+    entries = index_table.live_entries()
+    matched = [e for e in entries if index_table._entry_matches(e, prune)]
+    files_total, files_scanned = len(entries), len(matched)
+    bytes_total = sum(e.size_bytes for e in entries)
+    bytes_scanned = sum(e.size_bytes for e in matched)
     scan = index_table.scan(spark, prune=prune)
     pairs = (
         bands.join(scan, ["block", "key"])
@@ -249,7 +290,13 @@ def hamming_probe_indexed(
         .select("batch_id", F.col(cfg["id_col"]).alias("corpus_id"), "dist")
         .distinct()
     )
-    return {"pairs": pairs, "files_scanned": files_scanned, "files_total": files_total}
+    return {
+        "pairs": pairs,
+        "files_scanned": files_scanned,
+        "files_total": files_total,
+        "bytes_scanned": bytes_scanned,
+        "bytes_total": bytes_total,
+    }
 
 
 def batch_neardup_filter(

@@ -82,6 +82,21 @@ def test_probe_prunes_manifest_files(spark, warehouse):
     assert got == want
 
 
+def test_key_buckets_capped_at_band_width(spark, warehouse):
+    """At d=6 the narrowest of the 7 blocks is 9 bits wide → 512 distinct
+    keys; more buckets than that are guaranteed-empty partitions and must
+    be capped (probe correctness is unaffected either way)."""
+    cat = Catalog(warehouse)
+    src = cat.create_table(
+        "ocel.images2", IMAGE_SCHEMA, TableSpec(partition_spec=PartitionSpec.bucket("image_id", 2))
+    )
+    src.append(synth_images_df(spark, n_rows=40, seed=7), num_files=1)
+    idx = HI.hamming_index_table(
+        spark, cat, "ocel.idx_capped", src, max_dist=MAXD, key_buckets=10**6
+    )
+    assert int(idx.md.properties["hamming.key-buckets"]) == 512
+
+
 def test_probe_radius_guard(spark, warehouse):
     _, _, idx = _setup(spark, warehouse, n_corpus=50)
     batch = _later_rows(spark, 50, 52)
