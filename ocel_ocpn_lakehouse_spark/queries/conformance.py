@@ -79,16 +79,44 @@ def conformance_per_case(
     score      = 0.7*fitness + 0.3*precision; conforming ⇔ score > 0.8
                  (:236-239)
     """
-    trans = case_transitions(events, case_col, act_col, order_cols)
-    mdl = (model if model is not None else dfg_model(trans)).select(
-        "src", "dst", F.lit(1).alias("_ok")
+    # One events scan, one case-keyed window, then everything — model
+    # discovery, fitness counts, and the per-case activity sets — derives
+    # from a cached (case, act, next) count relation whose size is bounded
+    # by distinct trace triples (≪ events). The naive form replays the
+    # window per branch: events would scan 3× (fitness trans, model trans,
+    # precision distinct) for identical arithmetic.
+    w = Window.partitionBy(case_col).orderBy(*order_cols)
+    g = (
+        events.withColumn("_next", F.lead(act_col).over(w))
+        .select(
+            F.col(case_col).alias("case_id"),
+            F.col(act_col).alias("act"),
+            "_next",
+        )
+        .groupBy("case_id", "act", "_next")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
     )
+    ct = g.filter(F.col("_next").isNotNull()).select(
+        "case_id", F.col("act").alias("src"), F.col("_next").alias("dst"), "cnt"
+    )
+    if model is None:
+        edges = ct.groupBy("src", "dst").agg(F.sum("cnt").alias("freq"))
+        avg_freq = edges.agg(F.avg("freq").alias("_avg"))
+        model = (
+            edges.crossJoin(F.broadcast(avg_freq))
+            .filter(F.col("freq") > F.col("_avg"))
+            .select("src", "dst")
+        )
+    mdl = model.select("src", "dst", F.lit(1).alias("_ok"))
     fit = (
-        trans.join(F.broadcast(mdl), ["src", "dst"], "left")
+        ct.join(F.broadcast(mdl), ["src", "dst"], "left")
         .groupBy("case_id")
         .agg(
-            F.count("*").alias("n_trans"),
-            F.sum(F.coalesce("_ok", F.lit(0))).cast("long").alias("allowed_trans"),
+            F.sum("cnt").alias("n_trans"),
+            F.sum(F.when(F.col("_ok").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("allowed_trans"),
         )
     )
     model_acts = (
@@ -97,8 +125,11 @@ def conformance_per_case(
         .distinct()
         .withColumn("_in", F.lit(1))
     )
+    # Every event contributes its own activity as `act` in exactly one g
+    # row, so distinct (case, act) over g equals distinct over raw events
+    # — including single-event cases, whose only row has _next NULL.
     prec = (
-        events.select(F.col(case_col).alias("case_id"), F.col(act_col).alias("act"))
+        g.select("case_id", "act")
         .distinct()
         .join(F.broadcast(model_acts), "act", "left")
         .groupBy("case_id")
