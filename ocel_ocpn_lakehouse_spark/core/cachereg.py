@@ -1,0 +1,43 @@
+"""Bounded caching for lazily-returned operator DataFrames.
+
+Several operators (simhash/minhash signature reuse, conformance's
+(case, act, next) relation) must pin an intermediate relation so a
+self-join or multi-branch consumer doesn't recompute it per side — but
+they return a LAZY DataFrame, so they cannot unpersist in a finally
+block the way eager maintenance ops do (maintenance/merge.py:286,603).
+A bare ``.cache()`` there leaks: every invocation pins a fresh relation
+that only LRU eviction or session teardown reclaims.
+
+``scoped_cache(df, tag)`` bounds that to ONE pinned relation per
+(session, tag): caching under a tag unpersists the previous relation
+cached under the same tag. A caller still holding the previous lazy
+result keeps correct semantics — Spark recomputes through the
+unpersisted plan — it just loses the speedup, which is the right
+trade for a long-lived driver that would otherwise accumulate stale
+storage blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LAST: dict[tuple[str, str], DataFrame] = {}
+
+
+def scoped_cache(df: DataFrame, tag: str) -> DataFrame:
+    """Cache ``df``, releasing the relation previously cached under
+    ``tag`` for the same SparkSession."""
+    try:
+        sess = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        sess = "?"
+    key = (sess, tag)
+    prev = _LAST.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.cache()
+    _LAST[key] = df
+    return df

@@ -968,6 +968,22 @@ class Table:
 
         return self._commit(build, set_properties=set_properties)
 
+    def restamp_latest_summary(self, key: str, value) -> None:
+        """Set ``summary[key] = value`` on the LATEST snapshot — the
+        freshness-stamp pattern shared by the secondary indexes (IVF,
+        Hamming): a "nothing new to index" refresh must still record the
+        source snapshot it now reflects, without an empty data commit.
+        CAS-retried over freshly loaded metadata, so it composes with
+        concurrent commits instead of failing on the first conflict."""
+
+        def edit(md: meta.TableMetadata) -> None:
+            if not md.snapshots:
+                raise ValueError("cannot restamp an empty table")
+            md.snapshots[-1].summary[key] = value
+
+        self._commit_metadata_edit(edit)
+        self.refresh()
+
     # ---- refs (tags) + rollback ----------------------------------------------
     def _commit_metadata_edit(self, edit: Callable[[meta.TableMetadata], None]) -> None:
         """CAS-retry loop for snapshot-free metadata edits (refs)."""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core.cachereg import scoped_cache
 from .text import fingerprint
 
 
@@ -130,8 +131,9 @@ def ngram_jaccard_pairs(
     Pass ``None`` to disable (exact Jaccard, small corpora only).
     """
     # cache: ex feeds three plans (both join sides + sizes); uncached it
-    # re-shingles the corpus 3× (persist to a table at warehouse scale)
-    ex = _exploded_shingles(df, text_col, id_col, n, max_doc_freq).cache()
+    # re-shingles the corpus 3× (persist to a table at warehouse scale);
+    # scoped so repeated calls don't pin stale relations
+    ex = scoped_cache(_exploded_shingles(df, text_col, id_col, n, max_doc_freq), "jaccard-shingles")
     sizes = ex.groupBy("_id").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("_id").alias("id_a"), "shingle")
     b = ex.select(F.col("_id").alias("id_b"), "shingle")
@@ -175,8 +177,8 @@ def exact_jaccard_for_pairs(
     # (minhash banding, simhash buckets) — cache it so the id extraction
     # and the final annotate join evaluate it once, and shingle ONLY the
     # docs that appear in some pair (window cost scales with candidates,
-    # not the corpus)
-    pairs = pairs.cache()
+    # not the corpus); scoped so repeated calls don't pin stale relations
+    pairs = scoped_cache(pairs, "annotate-pairs")
     ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     sub = df.join(F.broadcast(ids), id_col)
     ex = _exploded_shingles(sub, text_col, id_col, n, None)
@@ -231,17 +233,26 @@ def minhash_lsh_pairs(
     band → candidate. Returns (id_a, id_b, est_jaccard) with the MinHash
     Jaccard estimate (= fraction of agreeing hash positions)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).cache()
-    bands_df = None
-    for b in range(bands):
-        part = sig.select(
-            F.col(id_col).alias("_id"),
+    # cache: the signature relation feeds the band projection (both join
+    # sides) plus the two estimate joins; scoped so repeated calls don't
+    # pin stale relations
+    sig = scoped_cache(
+        minhash_signatures(df, text_col, id_col, num_hashes, n), "minhash-sigs"
+    )
+    # all band buckets in ONE pass per row (explode of structs), not a
+    # union of per-band projections that re-reads sig once per band×side
+    band_entries = [
+        F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
                 *[F.element_at("signature", b * rows_per_band + j + 1) for j in range(rows_per_band)]
             ).alias("bucket"),
         )
-        bands_df = part if bands_df is None else bands_df.unionByName(part)
+        for b in range(bands)
+    ]
+    bands_df = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_entries)).alias("_bb")
+    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     l = bands_df.select(F.col("_id").alias("id_a"), "band", "bucket")
     r = bands_df.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -403,14 +414,20 @@ def banded_fingerprints(
     block) — the banded relation both the self-join and the index probe
     equi-join on."""
     base = fps.select(F.col(id_col).alias("_hid"), F.col(fp_col).cast("long").alias("_hfp"))
-    banded = None
+    # One projection + explode, NOT a union of per-block projections: a
+    # union re-executes the input plan once per block (×2 through a
+    # self-join), so a d=6 probe whose input is itself a join would pay
+    # ~14 scans. Exploding an array of (block, key) structs computes all
+    # band keys in a single pass over each row.
+    entries = []
     for i, (offset, width) in enumerate(band_layout(max_dist, nbits, blocks)):
         key = F.shiftrightunsigned("_hfp", offset)
         if width < 64:  # a full-width mask literal would overflow signed long
             key = key.bitwiseAND(F.lit((1 << width) - 1))
-        part = base.select("_hid", "_hfp", F.lit(i).alias("block"), key.alias("key"))
-        banded = part if banded is None else banded.unionByName(part)
-    return banded
+        entries.append(F.struct(F.lit(i).alias("block"), key.alias("key")))
+    return base.select(
+        "_hid", "_hfp", F.explode(F.array(*entries)).alias("_bk")
+    ).select("_hid", "_hfp", F.col("_bk.block").alias("block"), F.col("_bk.key").alias("key"))
 
 
 def phash_pairs(
@@ -441,9 +458,9 @@ def simhash_pairs(
     than that for the recall-1 guarantee, the block count rises to
     max_hamming+1 instead of silently dropping pairs."""
     # cache: the signature aggregation would otherwise recompute once per
-    # block×side through the union self-join; at warehouse scale
-    # signatures persist to a table instead
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    # self-join side; scoped so repeated invocations don't pin stale
+    # relations. At warehouse scale signatures persist to a table instead.
+    sigs = scoped_cache(simhash_signatures(df, text_col, id_col), "simhash-sigs")
     blocks = max(64 // prefix_bits, max_hamming + 1)
     return hamming_pairs(
         sigs, "_id", "sig", max_dist=max_hamming, nbits=64, blocks=blocks
@@ -604,10 +621,18 @@ def ngram_contamination(
             F.explode(shingles(F.col(bench_text_col), n)).alias("g"),
         )
     ).distinct()
-    # ~20B row overhead (UnsafeRow + 8B id) + n-gram chars. The probe costs
-    # one pass over the benchmark side only — never the corpus.
-    est = b.agg(
-        (F.coalesce(F.sum(F.length("g")), F.lit(0)) + F.count("*") * F.lit(20)).alias("bytes")
+    # Size probe from the RAW benchmark text, not the exploded n-gram set:
+    # estimating on `b` itself would run the full explode+distinct as a
+    # separate job and then recompute it for the join (doubling the most
+    # expensive side exactly when the guard matters). Upper bound: each of
+    # a doc's ≤`chars` words appears in ≤n n-grams (n·chars string bytes)
+    # and each n-gram row carries ~20 B UnsafeRow+id overhead with ≤1
+    # n-gram per word (~chars/5 rows) → bytes ≤ chars·(n+4). Conservative
+    # (ignores distinct collapsing); over-estimating only forfeits the
+    # broadcast hint, and AQE still converts a small shuffle side at
+    # runtime.
+    est = benchmark.agg(
+        (F.coalesce(F.sum(F.length(bench_text_col)), F.lit(0)) * F.lit(n + 4)).alias("bytes")
     ).first()["bytes"]
     bench = F.broadcast(b) if int(est) <= broadcast_max_bytes else b
     return (

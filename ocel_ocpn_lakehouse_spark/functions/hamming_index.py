@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.spec import PartitionField, PartitionSpec, TableSpec
-from ..core.table import PrunePredicate, Table
+from ..core.table import PrunePredicate, Table, entry_matches, prepare_predicates
 from .dedup import band_layout, banded_fingerprints, hamming_pairs, near_dup_losers
 
 STAMP = "hamming-source-snapshot-id"
@@ -201,22 +201,25 @@ def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table:
             cfg["blocks"],
             cfg["key_buckets"],
         )
-        n = int(rows.count())
-        if n:
-            index_table.append(
-                rows,
-                num_files=spark.sparkContext.defaultParallelism,
-                distribution="hash",
-                extra_summary={STAMP: int(cur.snapshot_id)},
-            )
-        else:
-            # nothing to commit: restamp the latest snapshot (idempotent)
-            md = index_table.md
-            md.snapshots[-1].summary[STAMP] = int(cur.snapshot_id)
-            from ..core import metadata as meta
-
-            meta.commit_metadata(index_table.root, md, md.version)
-            index_table.refresh()
+        # persist: the emptiness check and the append otherwise each run
+        # the incremental scan + banding (a bounded delta, so pinning it
+        # for the commit is cheap; eager op → release in finally)
+        rows = rows.persist()
+        try:
+            n = int(rows.count())
+            if n:
+                index_table.append(
+                    rows,
+                    num_files=spark.sparkContext.defaultParallelism,
+                    distribution="hash",
+                    extra_summary={STAMP: int(cur.snapshot_id)},
+                )
+            else:
+                # nothing to commit: restamp the latest snapshot
+                # (idempotent, CAS-retried, shared with the IVF index)
+                index_table.restamp_latest_summary(STAMP, int(cur.snapshot_id))
+        finally:
+            rows.unpersist()
         return {"status": "refreshed-incremental", "rows_indexed": n}
     full = _banded(
         source_table.scan(spark, columns=[cfg["id_col"], cfg["fp_col"]]),
@@ -242,6 +245,7 @@ def hamming_probe_indexed(
     fp_col: str | None = None,
     id_col: str | None = None,
     max_dist: int | None = None,
+    with_stats: bool = True,
 ) -> dict:
     """Exact near-dup pairs between ``batch`` and the indexed corpus:
     (batch_id, corpus_id, dist) with dist ≤ max_dist — recall 1 at any
@@ -253,7 +257,14 @@ def hamming_probe_indexed(
     manifest pruning working in both file and byte terms. The prune
     set is EXACTLY the (block, key-bucket) cells the batch's band keys hash
     into — one identity-partitioned ``pcell`` column, never a cross
-    product."""
+    product.
+
+    ``with_stats`` is a DIAGNOSTIC: it replays the pruning verdict on
+    driver-materialized entries, which is O(#index files) driver work —
+    exactly what ``scan``'s distributed planner avoids above its entry
+    threshold. Hot ingest paths (``batch_neardup_filter``, streaming)
+    pass ``with_stats=False`` and pay only the scan's own (possibly
+    distributed) planning; the stats fields are then None."""
     cfg = _props(index_table)
     if max_dist is None:
         max_dist = cfg["max_dist"]
@@ -275,11 +286,14 @@ def hamming_probe_indexed(
         int(r["pcell"]) for r in bands.select("pcell").distinct().collect()
     )
     prune = [PrunePredicate("_p_pcell", "in", cells)]
-    entries = index_table.live_entries()
-    matched = [e for e in entries if index_table._entry_matches(e, prune)]
-    files_total, files_scanned = len(entries), len(matched)
-    bytes_total = sum(e.size_bytes for e in entries)
-    bytes_scanned = sum(e.size_bytes for e in matched)
+    files_total = files_scanned = bytes_total = bytes_scanned = None
+    if with_stats:
+        prepared = prepare_predicates(prune)
+        entries = index_table.live_entries()
+        matched = [e for e in entries if entry_matches(e, prepared)]
+        files_total, files_scanned = len(entries), len(matched)
+        bytes_total = sum(e.size_bytes for e in entries)
+        bytes_scanned = sum(e.size_bytes for e in matched)
     scan = index_table.scan(spark, prune=prune)
     pairs = (
         bands.join(scan, ["block", "key"])
@@ -314,14 +328,29 @@ def batch_neardup_filter(
     Returns the surviving batch rows, ready to append + index-refresh."""
     cfg = _props(index_table)
     bid, bfp = cfg["id_col"], cfg["fp_col"]
+    # `max_dist or ...` would swallow an explicit 0 (exact-dup-only mode)
+    # and collapse merely-similar batch rows at the indexed radius
+    if max_dist is None:
+        max_dist = cfg["max_dist"]
     dup_ids = (
-        hamming_probe_indexed(spark, index_table, batch, max_dist=max_dist)["pairs"]
+        hamming_probe_indexed(
+            spark, index_table, batch, max_dist=max_dist, with_stats=False
+        )["pairs"]
         .select(F.col("batch_id").alias(bid))
         .distinct()
     )
     fresh = batch.join(dup_ids, bid, "left_anti")
+    # persist: `fresh` (batch anti-joined against the index probe, index
+    # scan included) feeds the in-batch pair self-join AND the survivor
+    # anti-join — uncached each consumer replays the whole probe subtree.
+    # Eager op boundary: callers append the result right away, so the
+    # caller materializes before this function's relation goes stale;
+    # scoped release keeps one pinned relation per session.
+    from ..core.cachereg import scoped_cache
+
+    fresh = scoped_cache(fresh, "hamming-batch-fresh")
     pairs = hamming_pairs(
-        fresh, id_col=bid, fp_col=bfp, max_dist=max_dist or cfg["max_dist"], nbits=cfg["nbits"]
+        fresh, id_col=bid, fp_col=bfp, max_dist=max_dist, nbits=cfg["nbits"]
     )
     losers = near_dup_losers(fresh, pairs, id_col=bid, quality_col=quality_col)
     return fresh.join(losers, bid, "left_anti")

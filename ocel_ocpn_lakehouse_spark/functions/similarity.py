@@ -429,13 +429,9 @@ def _stamp_ivf_source(index_table, source_snapshot_id: int) -> None:
     """Pin the source snapshot the index reflects into the index's LATEST
     commit summary (the exact-staleness bookkeeping mviews.py:98-104 uses
     for M5/M7: a freshness fact is a property of a commit, not of mutable
-    table properties)."""
-    from ..core import metadata as meta
-
-    md = meta.load_metadata(index_table.root)
-    md.snapshots[-1].summary["ivf-source-snapshot-id"] = int(source_snapshot_id)
-    meta.commit_metadata(index_table.root, md, md.version)
-    index_table.refresh()
+    table properties). CAS-retried via the shared Table helper — one stamp
+    implementation for both secondary index types."""
+    index_table.restamp_latest_summary("ivf-source-snapshot-id", int(source_snapshot_id))
 
 
 def ivf_source_snapshot(index_table) -> int | None:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.cachereg import scoped_cache
+
 
 def case_transitions(
     events: DataFrame,
@@ -46,13 +48,10 @@ def case_transitions(
     )
 
 
-def dfg_model(transitions: DataFrame) -> DataFrame:
-    """Discovered model: DFG edges with above-average frequency.
-
-    The frequency cut mirrors the reference's intent (a discovered model
-    admits the common paths, flags the rare ones); above-average is scale-
-    invariant and deterministic."""
-    edges = transitions.groupBy("src", "dst").agg(F.count("*").alias("freq"))
+def dfg_model_from_edges(edges: DataFrame) -> DataFrame:
+    """Above-average-frequency cut over a weighted (src, dst, freq) edge
+    set — the ONE place the discovery threshold lives (dfg_model and
+    conformance_per_case must agree or their model semantics drift)."""
     # Scalar threshold via broadcast cross join, not an unpartitioned window
     # (Window.partitionBy() funnels the edge set into one task and warns).
     avg_freq = edges.agg(F.avg("freq").alias("_avg"))
@@ -60,6 +59,17 @@ def dfg_model(transitions: DataFrame) -> DataFrame:
         edges.crossJoin(F.broadcast(avg_freq))
         .filter(F.col("freq") > F.col("_avg"))
         .select("src", "dst")
+    )
+
+
+def dfg_model(transitions: DataFrame) -> DataFrame:
+    """Discovered model: DFG edges with above-average frequency.
+
+    The frequency cut mirrors the reference's intent (a discovered model
+    admits the common paths, flags the rare ones); above-average is scale-
+    invariant and deterministic."""
+    return dfg_model_from_edges(
+        transitions.groupBy("src", "dst").agg(F.count("*").alias("freq"))
     )
 
 
@@ -95,18 +105,16 @@ def conformance_per_case(
         )
         .groupBy("case_id", "act", "_next")
         .agg(F.count("*").alias("cnt"))
-        .cache()
     )
+    # scoped cache: g feeds three branches; a bare .cache() on a lazily
+    # returned result leaks one pinned relation per invocation
+    g = scoped_cache(g, "conformance-g")
     ct = g.filter(F.col("_next").isNotNull()).select(
         "case_id", F.col("act").alias("src"), F.col("_next").alias("dst"), "cnt"
     )
     if model is None:
-        edges = ct.groupBy("src", "dst").agg(F.sum("cnt").alias("freq"))
-        avg_freq = edges.agg(F.avg("freq").alias("_avg"))
-        model = (
-            edges.crossJoin(F.broadcast(avg_freq))
-            .filter(F.col("freq") > F.col("_avg"))
-            .select("src", "dst")
+        model = dfg_model_from_edges(
+            ct.groupBy("src", "dst").agg(F.sum("cnt").alias("freq"))
         )
     mdl = model.select("src", "dst", F.lit(1).alias("_ok"))
     fit = (

@@ -144,6 +144,44 @@ def test_refresh_incremental_then_rebuild(spark, warehouse):
     assert {r.corpus_id for r in pairs.collect()} <= live_ids
 
 
+def test_batch_neardup_filter_exact_only_radius_zero(spark, warehouse):
+    """max_dist=0 must mean EXACT duplicates only — a falsy-swallowing
+    `max_dist or cfg` default would silently rerun the in-batch dedup at
+    the indexed radius and drop merely-similar rows (regression)."""
+    _, src, idx = _setup(spark, warehouse, n_corpus=100)
+    batch = _later_rows(spark, 100, 160).cache()
+    surv = HI.batch_neardup_filter(spark, idx, batch, max_dist=0).cache()
+    batch_fps = dict(_fps(batch))
+    corpus_fps = [f for _, f in _fps(src.scan(spark))]
+    surv_ids = {i for i, _ in _fps(surv)}
+    # exactly the rows whose phash equals a corpus phash, or that lose an
+    # exact in-batch tie, are dropped; near-but-not-equal rows survive
+    for bid, bf in batch_fps.items():
+        exact_corpus = any(bf == cf for cf in corpus_fps)
+        exact_batch_earlier = any(
+            of == bf and o != bid for o, of in batch_fps.items()
+        )
+        if not exact_corpus and not exact_batch_earlier:
+            assert bid in surv_ids, f"{bid} dropped though only near, not equal"
+    # plant a dist-1 neighbour of a radius-MAXD survivor (so it is >MAXD-1
+    # from every corpus row — never an exact corpus match): radius 0 must
+    # keep it, the default (indexed) radius must collapse it
+    full = HI.batch_neardup_filter(spark, idx, batch).cache()
+    planted = (
+        full.orderBy("image_id").limit(1)
+        .withColumn("image_id", F.lit("zzz_planted"))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(1)))
+    )
+    batch2 = batch.unionByName(planted)
+    surv0_ids = {i for i, _ in _fps(HI.batch_neardup_filter(spark, idx, batch2, max_dist=0))}
+    assert "zzz_planted" in surv0_ids
+    survd_ids = {i for i, _ in _fps(HI.batch_neardup_filter(spark, idx, batch2))}
+    assert "zzz_planted" not in survd_ids
+    full.unpersist()
+    batch.unpersist()
+    surv.unpersist()
+
+
 def test_batch_neardup_filter_replay_and_survivors(spark, warehouse):
     _, src, idx = _setup(spark, warehouse)
     # replayed corpus rows are their own dist-0 matches → dropped entirely
