@@ -26,7 +26,11 @@ _LAST: dict[tuple[str, str], DataFrame] = {}
 
 def scoped_cache(df: DataFrame, tag: str) -> DataFrame:
     """Cache ``df``, releasing the relation previously cached under
-    ``tag`` for the same SparkSession."""
+    ``tag`` for the same SparkSession — UNLESS the new plan is
+    semantically identical to the cached one, in which case the cached
+    relation is returned as-is (the steady-state serving pattern: a
+    dashboard or bench re-issuing the same query hits the warm relation
+    instead of tearing it down to rebuild the same bytes)."""
     try:
         sess = df.sparkSession.sparkContext.applicationId
     except Exception:
@@ -34,6 +38,11 @@ def scoped_cache(df: DataFrame, tag: str) -> DataFrame:
     key = (sess, tag)
     prev = _LAST.get(key)
     if prev is not None:
+        try:
+            if df.sameSemantics(prev):
+                return prev
+        except Exception:
+            pass
         try:
             prev.unpersist()
         except Exception:
