@@ -214,6 +214,47 @@ PII_PATTERNS = {
 }
 
 
+def curation_transform(
+    text_col: str = "text",
+    quality_min: float = 50.0,
+    scrub_pii: bool = True,
+    max_dup_word_frac: float = 0.9,
+    max_topgram_share: float | None = None,
+):
+    """Standard per-batch curation pipeline as a DataFrame->DataFrame
+    closure — the ``transform`` hook for streaming ingest
+    (streaming/ingest.py stream_dedup_ingest) and for batch curation
+    alike: quality gate, repetition gate, then PII redaction, all pure
+    row expressions in ONE Catalyst plan (the optional modal-n-gram gate
+    adds the two-level aggregation and is off by default for streaming:
+    a per-batch shuffle is fine, but the cheap gates catch most of what
+    it would).
+
+    Order matters: gates run on the ORIGINAL text (a document should
+    fail quality for its own prose, not for redaction tokens), then
+    redaction rewrites the survivors; the caller fingerprints AFTER, so
+    dedup identity is the canonical scrubbed form. Deterministic by
+    construction — safe under streaming replay."""
+    from .text import quality_score
+
+    def apply(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        out = df.filter(
+            (quality_score(t) >= quality_min)
+            & (dup_word_frac(t) <= max_dup_word_frac)
+        )
+        if max_topgram_share is not None:
+            share = "top2gram_share"
+            id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
+            out = top_ngram_share(out, n=2, text_col=text_col, id_col=id_col)
+            out = out.filter(F.col(share) <= max_topgram_share).drop(share)
+        if scrub_pii:
+            out = pii_scrub(out, text_col=text_col, count_cols=False)
+        return out
+
+    return apply
+
+
 def pii_scrub(
     df: DataFrame,
     text_col: str = "text",

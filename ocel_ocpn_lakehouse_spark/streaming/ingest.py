@@ -170,6 +170,7 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     stream_id: str = "dedup-ingest",
     max_files_per_trigger: int | None = None,
+    transform=None,
 ) -> int:
     """Streaming DEDUPLICATED ingest: each micro-batch lands only
     fingerprint-new documents (functions/dedup.py dedup_incremental —
@@ -195,12 +196,24 @@ def stream_dedup_ingest(
     allowed when it provably holds NO batch fp (Bloom false positives
     ADD files, never remove), so the anti-join sees every fp it could
     match. Replay is doubly safe: the epoch guard skips committed
-    batches, and even a forced re-run finds every fingerprint present."""
+    batches, and even a forced re-run finds every fingerprint present.
+
+    ``transform`` (optional, DataFrame -> DataFrame) runs on each batch
+    BEFORE fingerprinting — the curation hook (scrub.curation_transform
+    builds the standard quality-gate + PII-scrub + repetition-filter
+    pipeline). It must preserve the source schema's columns; rows it
+    drops never reach dedup, and text it rewrites is fingerprinted (and
+    persisted) in its scrubbed form, so the corpus seen-set is the
+    canonical post-curation identity. Determinism matters for replay:
+    with a deterministic transform a replayed batch re-derives the same
+    fps and the epoch guard + fp anti-join stay doubly safe."""
     from ..functions.dedup import batch_fingerprint, dedup_incremental
 
     out_cols = schema.fieldNames() + ["fp"]
 
     def apply_batch(batch_df, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         batch_fp = batch_df.withColumn("fp", batch_fingerprint(text_col, id_col))
         # persist: the fp column feeds three consumers (the collected probe
         # set, the in-batch survivor groupBy, the anti-join) — one md5 pass

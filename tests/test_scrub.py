@@ -158,3 +158,55 @@ def test_repetition_signals_on_documents_table(spark):
     ).first()
     assert 0.3 < stats["dw"] < 1.0  # small vocab => heavy word repetition
     assert 0.0 < stats["tg"] <= 1.0
+
+
+def test_stream_curated_ingest(spark, tmp_path):
+    """The curation transform hook on streaming dedup ingest: a batch
+    flows quality gate -> PII scrub -> fingerprint dedup, exactly-once,
+    and the corpus stores the SCRUBBED canonical text."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog
+    from ocel_ocpn_lakehouse_spark.streaming import stream_dedup_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "wh"))
+    st = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_schema = T.StructType(list(st.fields) + [T.StructField("fp", T.StringType())])
+    t = cat.create_table("ns.curated", out_schema)
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs away "
+        "into the woods to find some питание no just kidding plain food"
+    )
+    rows = [
+        (1, good + " contact me at alice@example.com for details"),
+        (2, "a a a a a a a a a a a a"),  # repetition gate
+        (3, "x"),  # quality gate (too short)
+        (4, good + " contact me at alice@example.com for details"),  # dup of 1
+    ]
+    spark.createDataFrame(rows, st).write.mode("overwrite").parquet(str(src / "b1"))
+    xf = scrub.curation_transform(quality_min=50.0, max_dup_word_frac=0.8)
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt, transform=xf)
+    t = t.refresh()
+    got = {r["doc_id"]: r["text"] for r in t.scan(spark).collect()}
+    assert set(got) == {1}
+    assert "<EMAIL>" in got[1] and "alice@" not in got[1]
+
+    # second drop: a doc identical to doc 1 AFTER scrubbing (different
+    # email) must be rejected — dedup identity is the canonical scrubbed
+    # form — while a clean new doc lands scrubbed
+    rows2 = [
+        (10, good + " contact me at bob@other.net for details"),
+        (11, good + " but this tail line differs so it is new content"),
+    ]
+    spark.createDataFrame(rows2, st).write.mode("overwrite").parquet(str(src / "b2"))
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt, transform=xf)
+    t = t.refresh()
+    got = {r["doc_id"] for r in t.scan(spark).collect()}
+    assert got == {1, 11}
+    assert int(t.current_snapshot().summary["dedup-accepted"]) == 1
