@@ -39,7 +39,13 @@ def scoped_cache(df: DataFrame, tag: str) -> DataFrame:
     prev = _LAST.get(key)
     if prev is not None:
         try:
-            if df.sameSemantics(prev):
+            # reuse only while the relation is actually still pinned — a
+            # caller (or spark.catalog.clearCache()) may have unpersisted
+            # the handle behind our back, and serving that forever would
+            # silently break the warm-relation contract
+            lvl = prev.storageLevel
+            still_cached = lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+            if still_cached and df.sameSemantics(prev):
                 return prev
         except Exception:
             pass

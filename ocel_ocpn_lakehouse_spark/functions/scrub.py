@@ -16,9 +16,11 @@ regardless of corpus size:
   by construction (doc_id is unique).
 - segment dedup: posexplode → hash-canonical segment → doc-frequency
   agg (partial agg collapses per-partition repeats before the shuffle)
-  → anti-join of banned segments → per-doc ordered reassembly. The
-  banned relation is the ONLY broadcast candidate and is guarded by an
-  estimated-bytes threshold like the DV/decontamination broadcasts.
+  → anti-join of banned segments → per-doc ordered reassembly: two
+  corpus scans (one building the pinned banned set, one joining), the
+  expensive agg exactly once. The banned relation is the ONLY broadcast
+  candidate and is guarded by an estimated-bytes threshold like the
+  DV/decontamination broadcasts.
 - PII scrub: regexp_replace / regexp_count codegen, zero shuffles.
 """
 
@@ -26,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .text import tokens
 
 # Mirrors DV_BROADCAST_MAX_BYTES (core/table.py): above this estimated
 # size the banned-segment relation joins via shuffle (AQE may still
@@ -36,10 +40,18 @@ BANNED_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 # ---- within-document repetition signals --------------------------------------
 
 
+def _sep_pattern(sep: str) -> str:
+    """``sep`` is a LITERAL separator everywhere in this module (split
+    must agree with the concat_ws reassembly, which is literal), but
+    F.split takes a Java regex — quote it (Pattern.quote's \\Q..\\E form,
+    robust to any metachar including backslash and newline)."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def segments(text: Column, sep: str = "\n") -> Column:
     """Non-empty trimmed segments (lines by default) as an array."""
     return F.filter(
-        F.transform(F.split(text, sep), lambda s: F.trim(s)),
+        F.transform(F.split(text, _sep_pattern(sep)), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
 
@@ -56,7 +68,7 @@ def dup_segment_frac(text: Column, sep: str = "\n") -> Column:
 
 def dup_word_frac(text: Column) -> Column:
     """Fraction of word occurrences that are repeats of an earlier word."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = tokens(text)
     n = F.size(toks)
     return F.when(
         n > 0, (n - F.size(F.array_distinct(toks))).cast("double") / n
@@ -80,8 +92,9 @@ def top_ngram_share(
     out_col = out_col or f"top{n}gram_share"
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "t"),
-    )
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).filter(F.length("t") > 0)  # split('') yields [''] — an empty doc must
+    # score 0 (left-join miss), not count '' as its modal unigram at n=1
     w = Window.partitionBy("_id").orderBy("pos")
     grams = toks.select(
         "_id",
@@ -156,7 +169,12 @@ def segment_dedup(
     not a window, so there is no second per-doc ordering pass."""
     seg = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
+        # NULL text must still yield its output row ('one row per input
+        # doc'): coalesce to '' so posexplode has a (single, ineligible)
+        # segment to carry instead of emitting nothing
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _sep_pattern(sep))
+        ).alias("pos", "seg"),
     ).withColumn("_h", _canon_hash(F.col("seg")))
     eligible = F.size(F.split(F.trim(F.col("seg")), r"\s+")) >= min_words
     seg = seg.withColumn("_elig", eligible & (F.length(F.trim("seg")) > 0))
@@ -168,8 +186,16 @@ def segment_dedup(
         .filter(F.col("_df") >= min_docs)
         .select("_h")
     )
-    # 32-hex md5 + UnsafeRow overhead ~= 56 B/row; estimate from the
-    # banned count itself (one agg job over already-shuffled data)
+    # The size guard needs a count, but counting the lazy plan and then
+    # joining it would run the explode + doc-frequency agg TWICE — pin
+    # the (small: banned hashes only) relation so the guard job is also
+    # the join build. scoped_cache bounds this to one pinned relation
+    # per session; the corpus-wide explode still runs once more for the
+    # join's left side (two source scans total, agg once).
+    from ..core.cachereg import scoped_cache
+
+    banned = scoped_cache(banned, "scrub.segment_dedup.banned")
+    # 32-hex md5 + UnsafeRow overhead ~= 56 B/row
     n_banned = banned.count()
     if n_banned * 56 <= banned_broadcast_max_bytes:
         banned = F.broadcast(banned)
@@ -220,6 +246,7 @@ def curation_transform(
     scrub_pii: bool = True,
     max_dup_word_frac: float = 0.9,
     max_topgram_share: float | None = None,
+    id_col: str = "doc_id",
 ):
     """Standard per-batch curation pipeline as a DataFrame->DataFrame
     closure — the ``transform`` hook for streaming ingest
@@ -244,8 +271,15 @@ def curation_transform(
             & (dup_word_frac(t) <= max_dup_word_frac)
         )
         if max_topgram_share is not None:
+            # the n-gram share partitions by id_col — a non-unique key
+            # would merge different docs' token streams and stamp one
+            # bogus share on all of them, so refuse to guess
+            if id_col not in df.columns:
+                raise ValueError(
+                    f"max_topgram_share needs a unique id column; "
+                    f"{id_col!r} not in {df.columns}"
+                )
             share = "top2gram_share"
-            id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
             out = top_ngram_share(out, n=2, text_col=text_col, id_col=id_col)
             out = out.filter(F.col(share) <= max_topgram_share).drop(share)
         if scrub_pii:

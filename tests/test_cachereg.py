@@ -41,3 +41,15 @@ def test_tags_are_independent(spark):
     assert _is_cached(a) and _is_cached(b)
     a.unpersist()
     b.unpersist()
+
+
+def test_externally_unpersisted_relation_is_repinned(spark):
+    """clearCache()/a caller unpersisting behind the registry's back must
+    not leave scoped_cache serving an uncached relation forever."""
+    a = scoped_cache(spark.range(70).withColumn("v", F.col("id") + 1), "t-ext")
+    a.count()
+    a.unpersist()  # external teardown; registry still holds the handle
+    b = scoped_cache(spark.range(70).withColumn("v", F.col("id") + 1), "t-ext")
+    assert _is_cached(b)
+    assert b.count() == 70
+    b.unpersist()

@@ -210,3 +210,44 @@ def test_stream_curated_ingest(spark, tmp_path):
     got = {r["doc_id"] for r in t.scan(spark).collect()}
     assert got == {1, 11}
     assert int(t.current_snapshot().summary["dedup-accepted"]) == 1
+
+
+def test_segment_dedup_null_text_and_metachar_sep(spark):
+    """A NULL-text doc keeps its output row (empty text), and a regex
+    metacharacter separator is treated literally on both the split and
+    the reassembly side."""
+    rows = [
+        (0, "one two three|four five six|one two three tail"),
+        (1, "four five six|totally unique segment here"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in scrub.segment_dedup(df, sep="|", min_docs=2, min_words=3).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 0
+    # 'four five six' is in 2 docs -> banned; '|' must not shred tokens
+    assert out[0]["text"] == "one two three|one two three tail"
+    assert out[1]["text"] == "totally unique segment here"
+    assert out[0]["n_removed"] == 1 and out[1]["n_removed"] == 1
+
+
+def test_top_ngram_share_unigram_empty_doc_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "b b b a")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["top1gram_share"]
+        for r in scrub.top_ngram_share(df, n=1).collect()
+    }
+    assert got[0] == 0.0 and got[1] == 0.0
+    assert got[2] == pytest.approx(0.75)
+
+
+def test_curation_transform_requires_id_for_topgram_gate(spark):
+    df = spark.createDataFrame([("en", "hello world")], "lang string, text string")
+    xf = scrub.curation_transform(max_topgram_share=0.5)
+    with pytest.raises(ValueError, match="doc_id"):
+        xf(df)
