@@ -27,6 +27,9 @@ from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, SortOrder, Ta
 from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA, synth_images_df
 from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
 from ocel_ocpn_lakehouse_spark.maintenance.cluster import execute_cluster
+from ocel_ocpn_lakehouse_spark.maintenance.cluster_incremental import (
+    execute_cluster_incremental,
+)
 from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
 from ocel_ocpn_lakehouse_spark.queries import QUERIES
 from ocel_ocpn_lakehouse_spark.session import get_spark
@@ -145,6 +148,40 @@ def image_maintenance_bench(spark, n_rows: int, n_files: int, cpus: int) -> dict
         t.refresh()
         fused_dt = time.time() - t0
         fused_equiv = _checksum(spark, t) == base
+
+        # incremental follow-up: a key-localized append onto the fresh
+        # layout (re-ingest/recaption of one shard — rows whose curve keys
+        # fall inside one base file's range), merged at cost ∝ delta +
+        # overlapped span. This is the steady-state maintenance path at
+        # 10^12 images: the merge rewrites only the overlapped files and
+        # the bytes-rewritten fraction reported below is the proof.
+        # (A key-UNIFORM append overlaps every Z-order range by
+        # construction and correctly routes to the full rewrite via the
+        # delta-fraction fallback — that regime is the fused number above.)
+        e0 = max(t.live_entries(), key=lambda e: e.record_count)
+        delta_df = spark.read.parquet(os.path.join(t.root, e0.path)).select(
+            *IMAGE_SCHEMA.fieldNames()
+        )
+        delta_rows = delta_df.count()
+        t.append(delta_df, num_files=4)
+        t.refresh()
+        base_incr = _checksum(spark, t)
+        t0 = time.time()
+        incr = execute_cluster_incremental(spark, t, st, "bench.images", curve="zorder")
+        t.refresh()
+        incr_dt = time.time() - t0
+        incr_equiv = _checksum(spark, t) == base_incr
+        incr_stats = {
+            "incr_sec": round(incr_dt, 3),
+            "incr_mode": incr.get("mode"),
+            "incr_delta_rows": delta_rows,
+            "incr_rows_per_sec": round(delta_rows / incr_dt, 1),
+            "incr_bytes_rewritten_frac": round(
+                incr.get("bytes_rewritten", 0) / max(total_bytes, 1), 4
+            ),
+            "incr_files_untouched": incr.get("files_base_untouched"),
+            "incr_scan_equivalence": 1.0 if incr_equiv else 0.0,
+        }
     finally:
         shutil.rmtree(wh1, ignore_errors=True)
 
@@ -180,6 +217,7 @@ def image_maintenance_bench(spark, n_rows: int, n_files: int, cpus: int) -> dict
         "fused_sec": round(fused_dt, 3),
         "fused_images_per_sec": round(n_rows / fused_dt, 1),
         "fused_scan_equivalence": 1.0 if fused_equiv else 0.0,
+        **incr_stats,
     }
 
 

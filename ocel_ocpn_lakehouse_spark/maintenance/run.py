@@ -27,9 +27,9 @@ def main(argv=None) -> int:
         "--op",
         default="full",
         choices=[
-            "health", "compact", "cluster", "rewrite", "expire", "quality",
-            "full", "synth", "orphans", "delete", "rollback", "tag", "auto",
-            "image-dedup",
+            "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
+            "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
+            "auto", "image-dedup",
         ],
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
@@ -135,6 +135,19 @@ def main(argv=None) -> int:
                 t, retries=args.retries,
             )
 
+        if args.op == "cluster-incr":
+            # LSM-style merge of appended delta into the existing curve
+            # layout: cost ∝ delta + overlapped span. Falls back to a full
+            # rewrite on its own when the layout is missing/stale.
+            from .cluster_incremental import execute_cluster_incremental
+
+            rep["cluster_incr"] = run_with_conflict_retry(
+                lambda: execute_cluster_incremental(
+                    spark, t.refresh(), sys_tables, table_name, curve=args.curve
+                ),
+                t, retries=args.retries,
+            )
+
         if args.op == "rewrite":
             # fused bin-pack + cluster: the cluster rewrite already emits
             # ≈target-size files per range bucket, so running it directly
@@ -172,13 +185,37 @@ def main(argv=None) -> int:
             rep["plan_groups"] = len(plan)
             needs_rewrite = bool(plan)
             if needs_rewrite:
-                rep["rewrite"] = run_with_conflict_retry(
-                    lambda: execute_cluster(
+                # cheapest sufficient rewrite first: the incremental cluster
+                # merge pays ∝ delta + overlapped span and keeps untouched
+                # base files in place (at 10^12 images a 0.1% append must
+                # not trigger a corpus rewrite). It routes ITSELF to a full
+                # rewrite when the layout is missing/stale/mostly-delta; the
+                # only debt it declines is debt inside already-stamped base
+                # files (tombstones, undersized stamped files) — that case
+                # falls through to the full fused rewrite below.
+                from .cluster_incremental import execute_cluster_incremental
+
+                incr = run_with_conflict_retry(
+                    lambda: execute_cluster_incremental(
                         spark, t.refresh(), sys_tables, table_name, curve=args.curve
                     ),
                     t, retries=args.retries,
                 )
-                actions.append("rewrite")
+                rep["rewrite"] = incr
+                if incr.get("status") == "committed":
+                    actions.append(
+                        "rewrite" if incr.get("mode", "").startswith("full") else
+                        "rewrite-incremental"
+                    )
+                else:
+                    rep["rewrite"] = run_with_conflict_retry(
+                        lambda: execute_cluster(
+                            spark, t.refresh(), sys_tables, table_name,
+                            curve=args.curve
+                        ),
+                        t, retries=args.retries,
+                    )
+                    actions.append("rewrite")
             if h.snapshot_count > 100 or args.retention_days is not None:
                 rep["expire"] = expire_snapshots(
                     spark,
