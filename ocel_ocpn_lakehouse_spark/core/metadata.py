@@ -87,6 +87,9 @@ class TableMetadata:
     # Tags pin snapshots against expiry and give scans stable names
     # ("prod-cut") independent of snapshot ids.
     refs: dict[str, int] = field(default_factory=dict)
+    # ref names that are BRANCHES (advanceable heads for write-audit-publish)
+    # rather than immutable tags; every branch name also appears in refs.
+    branches: list[str] = field(default_factory=list)
 
     # ---- snapshot helpers -------------------------------------------------
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
@@ -139,6 +142,7 @@ class TableMetadata:
                 "snapshots": [s.to_dict() for s in self.snapshots],
                 "last_sequence_number": self.last_sequence_number,
                 "refs": self.refs,
+                "branches": self.branches,
             },
             indent=1,
         )
@@ -159,6 +163,7 @@ class TableMetadata:
             last_sequence_number=d.get("last_sequence_number", 0),
             version=version,
             refs={k: int(v) for k, v in d.get("refs", {}).items()},
+            branches=list(d.get("branches", [])),
         )
         return md
 

@@ -155,9 +155,13 @@ def _bounds_overlap(pred: PrunePredicate, lower, upper) -> bool:
 
 
 class Table:
-    def __init__(self, root: str, md: meta.TableMetadata):
+    def __init__(self, root: str, md: meta.TableMetadata, branch: str | None = None):
         self.root = root
         self.md = md
+        # when set, this instance is a BRANCH VIEW: reads resolve the branch
+        # head and commits advance refs[branch] instead of main — the
+        # write-audit-publish staging surface (Iceberg branch writes).
+        self._branch = branch
         # manifest-name → entry count, from parquet footers. Manifests are
         # immutable (rewrites produce new names), so this never invalidates;
         # repeated scans on a long append chain pay the footer reads once.
@@ -229,6 +233,8 @@ class Table:
         return list(self.md.snapshots)
 
     def current_snapshot(self) -> meta.Snapshot | None:
+        if self._branch is not None:
+            return self._resolve_snapshot()
         return self.md.current_snapshot()
 
     def _resolve_snapshot(
@@ -237,6 +243,8 @@ class Table:
         as_of_ms: int | None = None,
         ref: str | None = None,
     ) -> meta.Snapshot | None:
+        if ref is None and snapshot_id is None and as_of_ms is None:
+            ref = self._branch  # branch views read their own head
         if ref is not None:
             if ref not in self.md.refs:
                 raise KeyError(f"ref {ref!r} not found on {self.root}")
@@ -293,10 +301,13 @@ class Table:
         )
 
     def refs_df(self, spark: SparkSession) -> DataFrame:
-        """Named refs (tags) as a DataFrame (Iceberg ``table.refs``)."""
+        """Named refs (tags + branches) as a DataFrame (Iceberg ``table.refs``)."""
         return spark.createDataFrame(
-            [(k, v) for k, v in sorted(self.md.refs.items())],
-            "name string, snapshot_id long",
+            [
+                (k, v, "branch" if k in self.md.branches else "tag")
+                for k, v in sorted(self.md.refs.items())
+            ],
+            "name string, snapshot_id long, type string",
         )
 
     # ---- incremental (changes-between-snapshots) scan ------------------------
@@ -712,13 +723,28 @@ class Table:
         """Optimistic-retry commit loop. ``set_properties`` rides in the
         SAME metadata commit as the snapshot — the atomicity hook for
         bookkeeping that must never drift from the data (e.g. a stream's
-        max committed epoch, an index's source-snapshot freshness stamp)."""
+        max committed epoch, an index's source-snapshot freshness stamp).
+
+        On a branch view the metadata is REPOSITIONED at the branch head
+        while ``build`` runs, so every commit kind — append, overwrite,
+        replace (and its liveness/DV conflict guards), delete — applies its
+        exact main-branch semantics against the branch state, and the
+        resulting snapshot advances ``refs[branch]`` while main's head is
+        left untouched. One code path, no per-op branch plumbing."""
         for _attempt in range(5):
             md = meta.load_metadata(self.root)
+            main_head = md.current_snapshot_id
+            if self._branch is not None:
+                if self._branch not in md.refs or self._branch not in md.branches:
+                    raise KeyError(f"branch {self._branch!r} not found on {self.root}")
+                md.current_snapshot_id = md.refs[self._branch]
             snap = build(md)
             if set_properties:
                 md.properties.update({k: str(v) for k, v in set_properties.items()})
             md.apply_snapshot(snap)
+            if self._branch is not None:
+                md.refs[self._branch] = snap.snapshot_id
+                md.current_snapshot_id = main_head
             try:
                 meta.commit_metadata(self.root, md, md.version)
                 self.md = md
@@ -1021,6 +1047,123 @@ class Table:
             md.refs.pop(name, None)
 
         self._commit_metadata_edit(edit)
+
+    # ---- branches (write-audit-publish) ---------------------------------------
+    def branch(self, name: str) -> "Table":
+        """A writable view positioned on branch ``name``: scans read the
+        branch head, commits advance it. The underlying table files are
+        shared; main is invisible to harm until ``fast_forward``."""
+        if name not in self.md.refs or name not in self.md.branches:
+            raise KeyError(f"branch {name!r} not found on {self.root}")
+        view = Table(self.root, self.md, branch=name)
+        view._manifest_counts = self._manifest_counts  # footers are immutable
+        return view
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Fork an advanceable ref at a snapshot (default: current head) —
+        the staging step of write-audit-publish (Iceberg branch refs /
+        the spark.wap.branch flow): risky writes or maintenance land on the
+        branch, get audited there, and reach readers only via
+        ``fast_forward``. Branch heads are expiry-protected like tags."""
+        def edit(md: meta.TableMetadata) -> None:
+            sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot branch an empty table")
+            md.snapshot_by_id(sid)  # must exist
+            if name in md.refs and name not in md.branches:
+                raise ValueError(f"ref {name!r} already exists as a tag")
+            md.refs[name] = sid
+            if name not in md.branches:
+                md.branches.append(name)
+
+        self._commit_metadata_edit(edit)
+        return self.md.refs[name]
+
+    def drop_branch(self, name: str) -> None:
+        def edit(md: meta.TableMetadata) -> None:
+            if name in md.branches:
+                md.refs.pop(name, None)
+                md.branches.remove(name)
+
+        self._commit_metadata_edit(edit)
+
+    @staticmethod
+    def _is_ancestor(md: meta.TableMetadata, ancestor_id: int, head_id: int) -> bool:
+        cur: int | None = head_id
+        while cur is not None:
+            if cur == ancestor_id:
+                return True
+            try:
+                cur = md.snapshot_by_id(cur).parent_id
+            except KeyError:
+                return False  # lineage expired below the candidate
+        return False
+
+    def fast_forward(self, name: str, drop: bool = False) -> meta.Snapshot:
+        """Publish a branch: advance MAIN to the branch head, atomically and
+        only if main's head is an ancestor of it (pure fast-forward —
+        Iceberg's fastForwardBranch). If main moved since the fork, the
+        publish fails with ConflictError instead of silently dropping the
+        concurrent commits; re-stage, or ``cherry_pick`` append snapshots.
+        ``drop=True`` retires the branch ref in the same metadata commit."""
+        def edit(md: meta.TableMetadata) -> None:
+            if name not in md.refs or name not in md.branches:
+                raise KeyError(f"branch {name!r} not found on {self.root}")
+            head = md.refs[name]
+            if md.current_snapshot_id is not None and not self._is_ancestor(
+                md, md.current_snapshot_id, head
+            ):
+                raise meta.ConflictError(
+                    f"cannot fast-forward: main ({md.current_snapshot_id}) is "
+                    f"not an ancestor of branch {name!r} ({head}); main moved "
+                    f"since the fork — cherry-pick or re-stage"
+                )
+            md.current_snapshot_id = head
+            if drop:
+                md.refs.pop(name, None)
+                md.branches.remove(name)
+
+        self._commit_metadata_edit(edit)
+        return self.md.current_snapshot()
+
+    def cherry_pick(self, snapshot_id: int) -> meta.Snapshot:
+        """Re-apply one APPEND snapshot's added manifests onto the current
+        head as a new commit (Iceberg cherrypick_snapshot) — the publish
+        path for an appended-on-branch batch when main has moved and
+        fast-forward is refused. Only append snapshots are safe to replay
+        this way (their delta is purely additive manifests); anything else
+        raises."""
+        def build(md: meta.TableMetadata) -> meta.Snapshot:
+            src = md.snapshot_by_id(snapshot_id)
+            if src.operation != "append":
+                raise ValueError(
+                    f"cherry-pick supports append snapshots only, got "
+                    f"{src.operation!r} (publish replaces/deletes via fast-forward)"
+                )
+            parent_manifests = (
+                set(md.snapshot_by_id(src.parent_id).manifests)
+                if src.parent_id is not None
+                else set()
+            )
+            added = [m for m in src.manifests if m not in parent_manifests]
+            cur = md.current_snapshot()
+            base = list(cur.manifests) if cur else []
+            already = [m for m in added if m in base]
+            if already:
+                raise ValueError(
+                    f"snapshot {snapshot_id} already applied ({len(already)} "
+                    f"of its manifests are on the current head)"
+                )
+            return md.new_snapshot(
+                "append",
+                base + added,
+                {
+                    "cherry-picked-from": snapshot_id,
+                    "added-files": sum(self._manifest_num_rows(m) for m in added),
+                },
+            )
+
+        return self._commit(build)
 
     def rollback_to(self, snapshot_id: int) -> meta.Snapshot:
         """Restore a previous snapshot's state as a NEW commit whose manifest

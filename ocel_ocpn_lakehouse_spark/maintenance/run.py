@@ -29,8 +29,23 @@ def main(argv=None) -> int:
         choices=[
             "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
             "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
-            "auto", "image-dedup",
+            "auto", "image-dedup", "branch", "publish",
         ],
+    )
+    ap.add_argument(
+        "--branch", default=None,
+        help="run the op against this branch (write-audit-publish staging; "
+             "created at the current head if absent). Readers of main see "
+             "nothing until --op publish fast-forwards.",
+    )
+    ap.add_argument(
+        "--min-quality", type=int, default=100,
+        help="--op publish: minimum quality-gate score the branch must "
+             "audit at before main fast-forwards",
+    )
+    ap.add_argument(
+        "--keep-branch", action="store_true",
+        help="--op publish: keep the branch ref after publishing",
     )
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     ap.add_argument(
@@ -107,6 +122,41 @@ def main(argv=None) -> int:
     def maintain_one(table_name: str) -> dict:
         rep: dict = {"table": table_name}
         t = cat.load_table(table_name)
+
+        if args.op == "branch":
+            name = args.name or args.branch
+            if not name:
+                raise SystemExit("--op branch requires --name")
+            sid = t.create_branch(name, args.snapshot_id)
+            rep["branch"] = {"name": name, "snapshot_id": sid}
+            return rep
+
+        if args.op == "publish":
+            # write-audit-publish close: audit the BRANCH state with the
+            # quality gate, then fast-forward main atomically. A failed
+            # audit publishes nothing — main never saw the staged commits.
+            name = args.name or args.branch
+            if not name:
+                raise SystemExit("--op publish requires --name (or --branch)")
+            audit = quality_report(t.branch(name).scan(spark))
+            rep["audit"] = audit
+            if audit["score"] < args.min_quality:
+                rep["published"] = False
+                rep["reason"] = (
+                    f"quality score {audit['score']} < {args.min_quality}"
+                )
+            else:
+                snap = t.fast_forward(name, drop=not args.keep_branch)
+                rep["published"] = True
+                rep["snapshot_id"] = snap.snapshot_id
+            return rep
+
+        if args.branch is not None:
+            # stage every subsequent op's commits on the branch; main's
+            # readers are isolated until --op publish
+            if args.branch not in t.md.branches:
+                t.create_branch(args.branch)
+            t = t.branch(args.branch)
 
         if args.op in ("health", "full"):
             h = analyze_table_health(spark, t, table_name)
