@@ -311,19 +311,12 @@ class Table:
         )
 
     # ---- incremental (changes-between-snapshots) scan ------------------------
-    def incremental_entries(
+    def _lineage_chain(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
-    ) -> list[mf.ManifestEntry]:
-        """Manifest entries appended in ``(from_snapshot_id, to_snapshot_id]``
-        — Iceberg's incremental append scan. Walks the snapshot lineage
-        backwards from ``to`` and collects each append's added manifests
-        (``snap.manifests − parent.manifests``; manifests are immutable, so
-        the set difference is exactly the appended files). ``replace``
-        snapshots (compaction/clustering/evolution) are row-preserving and
-        contribute nothing; any other operation in the range — overwrite,
-        merge, rollback — means the delta is not append-only and raises
-        :class:`IncrementalScanError`, as does an expired/unreachable start
-        snapshot. Cost is O(appended files), never O(table)."""
+    ) -> list[meta.Snapshot]:
+        """Snapshots in ``(from, to]`` ordered oldest → newest, by walking
+        parent ids back from ``to``. IncrementalScanError when ``from`` is
+        not an ancestor of ``to`` (expired, or history diverged)."""
         to_snap = self._resolve_snapshot(to_snapshot_id)
         if to_snap is None:
             raise IncrementalScanError("table has no snapshots")
@@ -344,8 +337,24 @@ class Table:
                 f"snapshot {from_snapshot_id} is not an ancestor of "
                 f"{to_snap.snapshot_id} (expired, or history diverged)"
             )
+        chain.reverse()
+        return chain
+
+    def incremental_entries(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[mf.ManifestEntry]:
+        """Manifest entries appended in ``(from_snapshot_id, to_snapshot_id]``
+        — Iceberg's incremental append scan. Walks the snapshot lineage
+        backwards from ``to`` and collects each append's added manifests
+        (``snap.manifests − parent.manifests``; manifests are immutable, so
+        the set difference is exactly the appended files). ``replace``
+        snapshots (compaction/clustering/evolution) are row-preserving and
+        contribute nothing; any other operation in the range — overwrite,
+        merge, rollback — means the delta is not append-only and raises
+        :class:`IncrementalScanError`, as does an expired/unreachable start
+        snapshot. Cost is O(appended files), never O(table)."""
         entries: list[mf.ManifestEntry] = []
-        for s in reversed(chain):  # oldest → newest: delta rows in commit order
+        for s in self._lineage_chain(from_snapshot_id, to_snapshot_id):
             if s.operation == "append":
                 parent_manifests = (
                     set(self.md.snapshot_by_id(s.parent_id).manifests)
@@ -383,6 +392,147 @@ class Table:
             df = spark.read.schema(schema).parquet(*paths)
         if columns:  # projection applies on the empty delta too
             df = df.select(*columns)
+        return df
+
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CDC between two snapshots — Iceberg's
+        ``create_changelog_view`` (reference parity: the Iceberg SQL
+        procedure; no reference-repo counterpart — the reference reads whole
+        snapshots). Unlike :meth:`incremental_scan`, which REFUSES
+        non-append history, this emits every row-level change across ANY
+        commit sequence: appends → ``insert`` rows, overwrite/merge/rollback
+        removed files → ``delete`` rows (their live pre-image), MoR
+        delete-vector commits → ``delete`` rows for exactly the newly
+        tombstoned positions, and rollbacks past a delete resurrect those
+        positions as ``insert``. Row-preserving ``replace`` snapshots
+        (compaction/clustering/evolution) contribute nothing, so maintenance
+        never pollutes the feed with carryover churn.
+
+        Output = table columns (or ``columns``) plus ``_change_type``
+        ('insert'|'delete'), ``_change_ordinal`` (commit order within the
+        range) and ``_commit_snapshot_id`` — the Iceberg changelog metadata
+        column names, so downstream CDC-apply code ports verbatim.
+
+        Scale shape: manifests are immutable, so each commit diffs at
+        manifest-file granularity first (shared manifests are never read);
+        within differing manifests, entries cancel path-wise — a CoW MERGE
+        that rewrote 3 of 10^6 files reads 3 files' worth of data plus the
+        entry metadata of the differing manifests only. DV deltas semi-join
+        ``(file, pos)`` against the new tombstones (broadcast under
+        ``DV_BROADCAST_MAX_BYTES``), cost ∝ touched files, never O(table).
+        """
+        schema = self.schema
+        cols = list(columns) if columns else schema.fieldNames()
+        out_schema = T.StructType(
+            [schema[c] for c in cols]
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_change_ordinal", T.IntegerType(), False),
+                T.StructField("_commit_snapshot_id", T.LongType(), False),
+            ]
+        )
+
+        def rows_of(entries: list[mf.ManifestEntry]) -> DataFrame | None:
+            """Live rows of these entries (their DVs applied) — the insert
+            image of added files / the delete pre-image of removed files."""
+            clean = [e.path for e in entries if not e.deletes]
+            dirty = [e for e in entries if e.deletes]
+            if dirty:
+                return self._scan_with_deletes(spark, clean, dirty, schema)
+            if clean:
+                return self._read_paths(spark, schema, clean)
+            return None
+
+        def rows_at(rel_paths: list[str], dv_rel: list[str]) -> DataFrame:
+            """Rows of ``rel_paths`` at exactly the positions listed in
+            ``dv_rel`` (the tombstone delta) — one semi-join on the
+            ``_metadata`` columns, mirror image of the MoR anti-join."""
+            ddf = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, p) for p in rel_paths])
+                .select(
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                    *schema.fieldNames(),
+                )
+            )
+            dv = self._dv_frame(spark, dv_rel)
+            return ddf.join(dv, ["_fp", "_pos"], "left_semi")
+
+        parts: list[DataFrame] = []
+        ordinal = 0
+        for s in self._lineage_chain(from_snapshot_id, to_snapshot_id):
+            if s.operation in ROW_PRESERVING_OPS:
+                continue
+
+            def tag(df: DataFrame | None, kind: str, _s=s, _o=ordinal) -> None:
+                if df is not None:
+                    parts.append(
+                        df.select(
+                            *cols,
+                            F.lit(kind).alias("_change_type"),
+                            F.lit(_o).cast("int").alias("_change_ordinal"),
+                            F.lit(_s.snapshot_id).cast("long").alias(
+                                "_commit_snapshot_id"
+                            ),
+                        )
+                    )
+
+            parent = (
+                self.md.snapshot_by_id(s.parent_id)
+                if s.parent_id is not None
+                else None
+            )
+            pman = set(parent.manifests) if parent else set()
+            cman = set(s.manifests)
+            removed_by = {
+                e.path: e
+                for e in mf.read_manifests(
+                    self.metadata_dir,
+                    [m for m in (parent.manifests if parent else []) if m not in cman],
+                )
+            }
+            added_by = {
+                e.path: e
+                for e in mf.read_manifests(
+                    self.metadata_dir, [m for m in s.manifests if m not in pman]
+                )
+            }
+            tag(rows_of([e for p, e in added_by.items() if p not in removed_by]), "insert")
+            tag(rows_of([e for p, e in removed_by.items() if p not in added_by]), "delete")
+            # shared paths whose tombstone set moved: grew → those positions
+            # died (MoR delete); shrank → a rollback resurrected them. Group
+            # by the DV delta so one semi-join serves every file touched by
+            # the same delete commit (the common case: one DV file/commit).
+            grew: dict[frozenset, list[str]] = {}
+            shrank: dict[frozenset, list[str]] = {}
+            for p, ce in added_by.items():
+                pe = removed_by.get(p)
+                if pe is None:
+                    continue
+                pdv = {d["path"] for d in pe.deletes}
+                cdv = {d["path"] for d in ce.deletes}
+                if cdv - pdv:
+                    grew.setdefault(frozenset(cdv - pdv), []).append(p)
+                if pdv - cdv:
+                    shrank.setdefault(frozenset(pdv - cdv), []).append(p)
+            for dvs, paths in sorted(grew.items(), key=lambda kv: kv[1]):
+                tag(rows_at(paths, sorted(dvs)), "delete")
+            for dvs, paths in sorted(shrank.items(), key=lambda kv: kv[1]):
+                tag(rows_at(paths, sorted(dvs)), "insert")
+            ordinal += 1
+
+        if not parts:
+            return spark.createDataFrame([], schema=out_schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # ---- scan ---------------------------------------------------------------
@@ -558,34 +708,41 @@ class Table:
             )
         )
         dv_rel = sorted({d["path"] for e in dirty for d in e.deletes})
+        dv = self._dv_frame(spark, dv_rel)
+        survivors = ddf.join(dv, ["_fp", "_pos"], "left_anti").select(*cols)
+        if not clean_paths:
+            return survivors
+        return self._read_paths(spark, schema, clean_paths).unionByName(survivors)
+
+    def _dv_frame(self, spark: SparkSession, dv_rel: Sequence[str]) -> DataFrame:
+        """Positional-delete tombstones as a normalized ``(_fp, _pos)`` frame
+        ready to join against ``_metadata`` columns. DV rows carry
+        table-root-relative data-file paths; ``_metadata.file_path`` is a
+        file:/abs URI — normalize the DV side once (tiny) instead of
+        string-mangling every data row.
+
+        Broadcast by estimated BYTES, not row count: 5M rows of long paths
+        is a multi-hundred-MB payload shipped to every executor. The DV
+        parquet footprint on disk is a cheap, conservative proxy (in-memory
+        rows inflate ~2-4×, so 64 MB on disk stays well under executor
+        broadcast budgets); above it, AQE picks the shuffle-join strategy.
+        An unknown file size forces the shuffle route outright (a cap-sized
+        increment would still pass the <= check when it is the only DV file).
+        """
         dv = spark.read.parquet(*[os.path.join(self.root, p) for p in dv_rel])
-        # DV rows carry table-root-relative data-file paths; _metadata.file_path
-        # is a file:/abs URI — normalize the DV side once (tiny) instead of
-        # string-mangling every data row.
         dv = dv.select(
             F.concat(F.lit(f"file:{self.root}{os.sep}"), F.col("path")).alias("_fp"),
             F.col("pos").alias("_pos"),
         )
-        # broadcast by estimated BYTES, not row count: 5M rows of long paths
-        # is a multi-hundred-MB payload shipped to every executor. The DV
-        # parquet footprint on disk is a cheap, conservative proxy (in-memory
-        # rows inflate ~2-4×, so 64 MB on disk stays well under executor
-        # broadcast budgets); above it, AQE picks the shuffle-join strategy.
         dv_bytes = 0
         for p in dv_rel:
             try:
                 dv_bytes += os.path.getsize(os.path.join(self.root, p))
             except OSError:
-                # unknown size: force the shuffle-join route outright (a
-                # cap-sized increment would still pass the <= check when
-                # it is the only DV file)
                 dv_bytes += DV_BROADCAST_MAX_BYTES + 1
         if dv_bytes <= DV_BROADCAST_MAX_BYTES:
             dv = F.broadcast(dv)
-        survivors = ddf.join(dv, ["_fp", "_pos"], "left_anti").select(*cols)
-        if not clean_paths:
-            return survivors
-        return self._read_paths(spark, schema, clean_paths).unionByName(survivors)
+        return dv
 
     def _entry_matches(self, e: mf.ManifestEntry, preds: Sequence[PrunePredicate]) -> bool:
         return entry_matches(e, preds)
