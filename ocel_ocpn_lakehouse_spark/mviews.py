@@ -12,9 +12,10 @@ id in its summary; stale ⇔ base moved — instead of wall-clock age.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .core.catalog import Catalog
 from .core.spec import TableSpec
@@ -31,10 +32,69 @@ class MVDefinition:
     # recorded base snapshot, produce the new MV rows — e.g. union old rows
     # with build(delta) and re-aggregate (counts/sums/min/max merge). When
     # set, refresh() reads only the delta via Table.incremental_scan — cost
-    # ∝ appended bytes, not table size — and falls back to a full rebuild
-    # whenever the range is not append-only (merge/overwrite/rollback) or
-    # the recorded snapshot expired.
+    # ∝ appended bytes, not table size — and falls back whenever the range
+    # is not append-only (merge/overwrite/rollback) or the recorded
+    # snapshot expired.
     incr_merge: Callable[[SparkSession, DataFrame, DataFrame], DataFrame] | None = None
+    # CDC view maintenance: given the CURRENT MV rows and the base table's
+    # row-level changelog (Table.changelog_scan: insert/delete rows with
+    # _change_type), produce the new MV rows. The upgrade over incr_merge:
+    # it survives MoR deletes, CoW merges and rollbacks — the ranges
+    # incremental_scan refuses — so an MV behind a mutating table refreshes
+    # at delta cost instead of a full rebuild. Use algebraic_cdc_merge for
+    # the standard count/sum/avg shape; fallback order in refresh() is
+    # incr_merge (append-only) → cdc_merge (any range) → full rebuild
+    # (expired start snapshot).
+    cdc_merge: Callable[[SparkSession, DataFrame, DataFrame], DataFrame] | None = None
+
+
+def algebraic_cdc_merge(
+    group_cols: Sequence[str],
+    counts: Mapping[str, None] | Sequence[str],
+    sums: Mapping[str, str] | None = None,
+) -> Callable[[SparkSession, DataFrame, DataFrame], DataFrame]:
+    """A ``cdc_merge`` for the self-maintainable aggregate MV shape:
+    ``GROUP BY group_cols`` with COUNT(*) columns (``counts``: output
+    names) and SUM columns (``sums``: output name → source column).
+
+    Classic IVM algebra: each changelog row contributes with weight +1
+    (insert) / −1 (delete); the delta aggregates map-side, unions with the
+    current MV rows (already one row per group), and re-aggregates —
+    cost ∝ |changelog| + |MV|, never the base table. Groups whose count
+    reaches zero disappear, exactly as a full rebuild would drop them.
+    AVG is stored as (sum, count) and derived at read time — the standard
+    IVM requirement; MIN/MAX are NOT maintainable under deletes (a
+    deleted extremum needs a rescan), so they keep the full-rebuild path.
+    Requires at least one count column to detect dead groups."""
+    count_cols = list(counts)
+    sum_map = dict(sums or {})
+    if not count_cols:
+        raise ValueError("algebraic_cdc_merge needs ≥1 count column")
+    measure_cols = count_cols + list(sum_map)
+
+    def merge(spark: SparkSession, mv_now: DataFrame, changelog: DataFrame) -> DataFrame:
+        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = changelog.groupBy(*group_cols).agg(
+            *[F.sum(w).alias(c) for c in count_cols],
+            *[F.sum(w * F.col(src)).alias(out) for out, src in sum_map.items()],
+        )
+        merged = (
+            mv_now.select(*group_cols, *measure_cols)
+            .unionByName(delta.select(*group_cols, *measure_cols))
+            .groupBy(*group_cols)
+            .agg(*[F.sum(c).alias(c) for c in measure_cols])
+            .filter(F.col(count_cols[0]) > 0)
+        )
+        # cast back to the MV's stored types (sum() widens int → long etc.)
+        return merged.select(
+            *group_cols,
+            *[
+                F.col(c).cast(mv_now.schema[c].dataType).alias(c)
+                for c in measure_cols
+            ],
+        )
+
+    return merge
 
 
 class MaterializedViewManager:
@@ -74,18 +134,32 @@ class MaterializedViewManager:
         status = "refreshed"
         result = None
         recorded = self.recorded_base_snapshot(name)
-        if d.incr_merge is not None and recorded is not None and base_snap is not None:
+        if recorded is not None and base_snap is not None:
             from .core.table import IncrementalScanError
 
-            try:
-                delta = base.incremental_scan(
-                    spark, int(recorded), base_snap.snapshot_id
-                )
-                mv_now = self.catalog.load_table(name).scan(spark)
-                result = d.incr_merge(spark, mv_now, delta)
-                status = "refreshed-incremental"
-            except IncrementalScanError:
-                result = None  # non-append-only range → full rebuild below
+            if d.incr_merge is not None:
+                try:
+                    delta = base.incremental_scan(
+                        spark, int(recorded), base_snap.snapshot_id
+                    )
+                    mv_now = self.catalog.load_table(name).scan(spark)
+                    result = d.incr_merge(spark, mv_now, delta)
+                    status = "refreshed-incremental"
+                except IncrementalScanError:
+                    result = None  # non-append-only range → next path
+            if result is None and d.cdc_merge is not None:
+                # the range incremental_scan refused (MoR delete, CoW merge,
+                # rollback) still refreshes at delta cost via the row-level
+                # changelog; only an expired start snapshot forces a rebuild
+                try:
+                    ch = base.changelog_scan(
+                        spark, int(recorded), base_snap.snapshot_id
+                    )
+                    mv_now = self.catalog.load_table(name).scan(spark)
+                    result = d.cdc_merge(spark, mv_now, ch)
+                    status = "refreshed-cdc"
+                except IncrementalScanError:
+                    result = None  # expired start → full rebuild below
         if result is None:
             result = d.build(spark, base.scan(spark))
         if not self.catalog.table_exists(name):

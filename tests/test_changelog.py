@@ -167,6 +167,122 @@ def test_changelog_empty_and_bad_range(spark, warehouse):
         t.changelog_scan(spark, 999_999_999)
 
 
+def _fmt_stats_build(s, base):
+    return base.groupBy("fmt").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sum_w")
+    )
+
+
+def _mv_rows(spark, cat, name="ocel.fmt_stats"):
+    return sorted(map(tuple, cat.load_table(name).scan(spark).collect()))
+
+
+def test_cdc_mv_refresh_survives_deletes_merges_rollbacks(spark, warehouse):
+    from ocel_ocpn_lakehouse_spark.mviews import (
+        MaterializedViewManager,
+        MVDefinition,
+        algebraic_cdc_merge,
+    )
+
+    cat, t = _table(spark, warehouse)
+    mgr = MaterializedViewManager(cat)
+    mgr.register(
+        MVDefinition(
+            name="ocel.fmt_stats",
+            base="ocel.images",
+            build=_fmt_stats_build,
+            cdc_merge=algebraic_cdc_merge(["fmt"], ["n"], {"sum_w": "w"}),
+        )
+    )
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed"
+
+    def assert_mv_exact():
+        expected = sorted(
+            map(tuple, _fmt_stats_build(spark, t.refresh().scan(spark)).collect())
+        )
+        assert _mv_rows(spark, cat) == expected
+
+    # append-only range: cdc path alone handles it (no incr_merge set)
+    t.append(
+        synth_images_df(spark, n_rows=30, seed=9).withColumn(
+            "image_id", F.concat(F.lit("b2_"), "image_id")
+        ),
+        num_files=2,
+    )
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+    assert_mv_exact()
+
+    # MoR delete — the range incremental_scan refuses — refreshes at delta cost
+    delete_where(spark, t.refresh(), "w = 32")
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+    assert_mv_exact()
+
+    # CoW merge upsert
+    src = synth_merge_source_df(spark, 120, seed=3)
+    merge_into(spark, t.refresh(), src, sys_tables=SystemTables(cat.warehouse), table_name="ocel.images")
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+    assert_mv_exact()
+
+    # rollback past the merge
+    t = t.refresh()
+    s_back = t.snapshots()[-3].snapshot_id
+    t.rollback_to(s_back)
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+    assert_mv_exact()
+
+    # dead group: wipe one fmt entirely — the MV row must disappear
+    victim = t.refresh().scan(spark).select("fmt").first()[0]
+    delete_where(spark, t, f"fmt = '{victim}'")
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+    assert_mv_exact()
+    assert victim not in {r[0] for r in _mv_rows(spark, cat)}
+
+
+def test_cdc_mv_incr_merge_priority_and_maintenance_staleness(spark, warehouse):
+    from ocel_ocpn_lakehouse_spark.mviews import (
+        MaterializedViewManager,
+        MVDefinition,
+        algebraic_cdc_merge,
+    )
+
+    cat, t = _table(spark, warehouse)
+
+    def incr_merge(s, mv_rows, delta):
+        return (
+            mv_rows.unionByName(_fmt_stats_build(s, delta))
+            .groupBy("fmt")
+            .agg(F.sum("n").alias("n"), F.sum("sum_w").alias("sum_w"))
+        )
+
+    mgr = MaterializedViewManager(cat)
+    mgr.register(
+        MVDefinition(
+            name="ocel.fmt_stats",
+            base="ocel.images",
+            build=_fmt_stats_build,
+            incr_merge=incr_merge,
+            cdc_merge=algebraic_cdc_merge(["fmt"], ["n"], {"sum_w": "w"}),
+        )
+    )
+    mgr.refresh(spark, "ocel.fmt_stats")
+
+    # append-only → the cheaper incr path wins
+    t.append(synth_images_df(spark, n_rows=20, seed=4), num_files=1)
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-incremental"
+
+    # MoR delete → falls through to cdc, never full rebuild
+    delete_where(spark, t.refresh(), "h = 64")
+    assert mgr.refresh(spark, "ocel.fmt_stats")["status"] == "refreshed-cdc"
+
+    # maintenance-only staleness (replace): the range is append-only-legal
+    # (empty delta), so the cheaper incr path wins and rows are unchanged
+    execute_compaction(spark, t.refresh(), SystemTables(cat.warehouse), "ocel.images")
+    before = _mv_rows(spark, cat)
+    r = mgr.refresh(spark, "ocel.fmt_stats")
+    assert r["status"] == "refreshed-incremental"
+    assert _mv_rows(spark, cat) == before
+
+
 def test_changelog_projection(spark, warehouse):
     _, t = _table(spark, warehouse)
     s1 = t.current_snapshot().snapshot_id
