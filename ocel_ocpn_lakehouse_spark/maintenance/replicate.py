@@ -1,0 +1,178 @@
+"""Changelog-driven table replication: keep a downstream replica of an
+engine table in sync at DELTA cost.
+
+The reference has no replication surface; this composes two primitives
+this engine already proves correct — ``Table.changelog_scan`` (row-level
+CDC across any commit sequence) and ``merge_into`` (bucket/Bloom-pruned
+upsert+delete) — into the standard lakehouse mirror pattern (Iceberg
+changelog view → MERGE INTO on the target).
+
+Sync cost ∝ |changelog| + touched replica files, never O(table): the
+changelog reads only changed source files (manifest-diff planning), the
+net-effect reduction is one shuffle over delta rows, and the MERGE probe
+prunes replica files by bucket + manifest bounds/Bloom. The source
+snapshot id rides IN the replica's merge commit (``set_properties``), so
+a crash between apply and stamp is impossible — the same atomicity
+pattern as the IVF index freshness stamp and streaming epoch markers.
+
+Requires ``key`` to be unique in the source table (the replica mirrors
+one row per key; merge_into's contract). Expired changelog start (source
+history GC'd past the stamp) falls back to a full overwrite re-sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import Catalog
+from ..core.spec import TableSpec
+from ..core.table import IncrementalScanError, Table
+from .checkpoint import SystemTables
+from .merge import merge_into
+
+SOURCE_SNAPSHOT_PROP = "replica.source-snapshot-id"
+
+
+def _stamp_only(replica: Table, snapshot_id: int) -> None:
+    """Advance the stamp with no data commit (maintenance-only source
+    range): a CAS metadata edit, same machinery as ref updates."""
+
+    def edit(md) -> None:
+        md.properties[SOURCE_SNAPSHOT_PROP] = str(snapshot_id)
+
+    replica._commit_metadata_edit(edit)
+    replica.refresh()
+
+
+def sync_replica(
+    spark: SparkSession,
+    source: Table,
+    catalog: Catalog,
+    replica_name: str,
+    key: str = "image_id",
+    sys_tables: SystemTables | None = None,
+    strategy: str | None = None,
+) -> dict:
+    """One sync pass: bootstrap (full copy) on first call, then per-call
+    apply of the source changelog since the replica's recorded source
+    snapshot. Net-effect reduction first — per key, the highest-ordinal
+    change wins, insert beating delete within an ordinal (a CoW update
+    emits delete+insert at one ordinal; the insert is the post-image; a
+    carryover row upserts its own identical payload, idempotent) — then
+    one MERGE INTO with upsert/delete ops. Returns the action taken plus
+    delta row counts."""
+    cur = source.current_snapshot()
+    if cur is None:
+        return {"status": "empty-source", "upserts": 0, "deletes": 0}
+
+    if not catalog.table_exists(replica_name):
+        catalog.create_table(
+            replica_name,
+            source.schema,
+            TableSpec(
+                partition_spec=source.partition_spec,
+                sort_order=source.sort_order,
+            ),
+        )
+        replica = catalog.load_table(replica_name)
+        n = replica.overwrite(
+            source.scan(spark),
+            set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
+        ).summary["added-records"]
+        return {
+            "status": "bootstrap",
+            "to_snapshot": cur.snapshot_id,
+            "upserts": int(n),
+            "deletes": 0,
+        }
+
+    replica = catalog.load_table(replica_name)
+    recorded = replica.properties.get(SOURCE_SNAPSHOT_PROP)
+    if recorded is None:
+        # pre-existing table never synced: treat as bootstrap-into-existing
+        n = replica.overwrite(
+            source.scan(spark),
+            set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
+        ).summary["added-records"]
+        return {
+            "status": "resync",
+            "to_snapshot": cur.snapshot_id,
+            "upserts": int(n),
+            "deletes": 0,
+        }
+    recorded = int(recorded)
+    if recorded == cur.snapshot_id:
+        return {"status": "fresh", "to_snapshot": cur.snapshot_id, "upserts": 0, "deletes": 0}
+
+    try:
+        ch = source.changelog_scan(spark, recorded, cur.snapshot_id)
+    except IncrementalScanError:
+        # the stamp expired out of source history — full re-sync, stamped
+        # atomically with the overwrite
+        n = replica.overwrite(
+            source.scan(spark),
+            set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
+        ).summary["added-records"]
+        return {
+            "status": "resync",
+            "from_snapshot": recorded,
+            "to_snapshot": cur.snapshot_id,
+            "upserts": int(n),
+            "deletes": 0,
+        }
+
+    data_cols = source.schema.fieldNames()
+    win = Window.partitionBy(key).orderBy(
+        F.col("_change_ordinal").desc(),
+        (F.col("_change_type") == "insert").cast("int").desc(),
+    )
+    net = (
+        ch.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *data_cols,
+            F.when(F.col("_change_type") == "insert", F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("_op"),
+        )
+    )
+    counts = {r["_op"]: r["n"] for r in net.groupBy("_op").agg(F.count("*").alias("n")).collect()}
+    upserts, deletes = counts.get("upsert", 0), counts.get("delete", 0)
+    if not upserts and not deletes:
+        # maintenance-only range (replace snapshots): nothing to apply,
+        # just advance the stamp
+        _stamp_only(replica, cur.snapshot_id)
+        return {
+            "status": "restamped",
+            "from_snapshot": recorded,
+            "to_snapshot": cur.snapshot_id,
+            "upserts": 0,
+            "deletes": 0,
+        }
+
+    merge_into(
+        spark,
+        replica,
+        net,
+        key=key,
+        sys_tables=sys_tables,
+        table_name=replica_name,
+        strategy=strategy,
+        extra_summary={"replica-sync-from": recorded},
+        set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
+    )
+    return {
+        "status": "synced",
+        "from_snapshot": recorded,
+        "to_snapshot": cur.snapshot_id,
+        "upserts": int(upserts),
+        "deletes": int(deletes),
+    }
+
+
+def replica_is_fresh(source: Table, replica: Table) -> bool:
+    """True iff the replica's stamp matches the source head."""
+    cur = source.current_snapshot()
+    rec = replica.properties.get(SOURCE_SNAPSHOT_PROP)
+    return cur is not None and rec is not None and int(rec) == cur.snapshot_id

@@ -29,8 +29,12 @@ def main(argv=None) -> int:
         choices=[
             "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
             "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
-            "auto", "image-dedup", "branch", "publish",
+            "auto", "image-dedup", "branch", "publish", "replicate",
         ],
+    )
+    ap.add_argument(
+        "--replica", default=None,
+        help="target table for --op replicate (changelog-driven mirror sync)",
     )
     ap.add_argument(
         "--branch", default=None,
@@ -322,6 +326,18 @@ def main(argv=None) -> int:
                     dry_run=args.dry_run,
                     sys_tables=sys_tables,
                     table_name=table_name,
+                ),
+                t, retries=args.retries,
+            )
+
+        if args.op == "replicate":
+            if not args.replica:
+                raise SystemExit("--op replicate requires --replica <table>")
+            from .replicate import sync_replica
+
+            rep["replicate"] = run_with_conflict_retry(
+                lambda: sync_replica(
+                    spark, t.refresh(), cat, args.replica, sys_tables=sys_tables
                 ),
                 t, retries=args.retries,
             )
