@@ -452,18 +452,29 @@ class Table:
         def rows_at(rel_paths: list[str], dv_rel: list[str]) -> DataFrame:
             """Rows of ``rel_paths`` at exactly the positions listed in
             ``dv_rel`` (the tombstone delta) — one semi-join on the
-            ``_metadata`` columns, mirror image of the MoR anti-join."""
-            ddf = (
-                spark.read.schema(schema)
-                .parquet(*[os.path.join(self.root, p) for p in rel_paths])
-                .select(
-                    F.col("_metadata.file_path").alias("_fp"),
-                    F.col("_metadata.row_index").alias("_pos"),
-                    *schema.fieldNames(),
-                )
-            )
+            ``_metadata`` columns, mirror image of the MoR anti-join.
+            Bounded-union reads beyond SCAN_READ_BATCH paths, like
+            ``_read_paths``."""
             dv = self._dv_frame(spark, dv_rel)
-            return ddf.join(dv, ["_fp", "_pos"], "left_semi")
+            out: DataFrame | None = None
+            for i in range(0, len(rel_paths), SCAN_READ_BATCH):
+                ddf = (
+                    spark.read.schema(schema)
+                    .parquet(
+                        *[
+                            os.path.join(self.root, p)
+                            for p in rel_paths[i : i + SCAN_READ_BATCH]
+                        ]
+                    )
+                    .select(
+                        F.col("_metadata.file_path").alias("_fp"),
+                        F.col("_metadata.row_index").alias("_pos"),
+                        *schema.fieldNames(),
+                    )
+                )
+                part = ddf.join(dv, ["_fp", "_pos"], "left_semi")
+                out = part if out is None else out.unionByName(part)
+            return out
 
         parts: list[DataFrame] = []
         ordinal = 0
@@ -491,37 +502,24 @@ class Table:
             )
             pman = set(parent.manifests) if parent else set()
             cman = set(s.manifests)
-            removed_by = {
-                e.path: e
-                for e in mf.read_manifests(
-                    self.metadata_dir,
-                    [m for m in (parent.manifests if parent else []) if m not in cman],
-                )
-            }
-            added_by = {
-                e.path: e
-                for e in mf.read_manifests(
-                    self.metadata_dir, [m for m in s.manifests if m not in pman]
-                )
-            }
-            tag(rows_of([e for p, e in added_by.items() if p not in removed_by]), "insert")
-            tag(rows_of([e for p, e in removed_by.items() if p not in added_by]), "delete")
+            inserts, deletes, changed = self._changelog_diff(
+                spark,
+                [m for m in (parent.manifests if parent else []) if m not in cman],
+                [m for m in s.manifests if m not in pman],
+            )
+            tag(rows_of(inserts), "insert")
+            tag(rows_of(deletes), "delete")
             # shared paths whose tombstone set moved: grew → those positions
             # died (MoR delete); shrank → a rollback resurrected them. Group
             # by the DV delta so one semi-join serves every file touched by
             # the same delete commit (the common case: one DV file/commit).
             grew: dict[frozenset, list[str]] = {}
             shrank: dict[frozenset, list[str]] = {}
-            for p, ce in added_by.items():
-                pe = removed_by.get(p)
-                if pe is None:
-                    continue
-                pdv = {d["path"] for d in pe.deletes}
-                cdv = {d["path"] for d in ce.deletes}
-                if cdv - pdv:
-                    grew.setdefault(frozenset(cdv - pdv), []).append(p)
-                if pdv - cdv:
-                    shrank.setdefault(frozenset(pdv - cdv), []).append(p)
+            for p, new_dvs, gone_dvs in changed:
+                if new_dvs:
+                    grew.setdefault(frozenset(new_dvs), []).append(p)
+                if gone_dvs:
+                    shrank.setdefault(frozenset(gone_dvs), []).append(p)
             for dvs, paths in sorted(grew.items(), key=lambda kv: kv[1]):
                 tag(rows_at(paths, sorted(dvs)), "delete")
             for dvs, paths in sorted(shrank.items(), key=lambda kv: kv[1]):
@@ -534,6 +532,108 @@ class Table:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _changelog_diff(
+        self,
+        spark: SparkSession,
+        removed_manifests: list[str],
+        added_manifests: list[str],
+    ) -> tuple[list[mf.ManifestEntry], list[mf.ManifestEntry], list[tuple[str, list[str], list[str]]]]:
+        """Path-wise entry diff for one commit: (added-only entries,
+        removed-only entries, [(path, new_dv_paths, gone_dv_paths)] for
+        shared paths whose tombstone set moved).
+
+        Driver route below ``scan.plan-distributed-threshold`` footer rows.
+        Beyond it — a DV or overwrite commit rewrites EVERY manifest, so a
+        10^6-file table would otherwise materialize 2×10^6 entries on the
+        driver — the diff runs as a Spark full-outer join on path over the
+        two manifest sets, unchanged files (same path, same DV set) are
+        dropped executor-side, and the driver collects only the CHANGED
+        files: O(changed), mirroring ``_plan_scan_distributed``."""
+        n = sum(
+            self._manifest_num_rows(m) for m in removed_manifests + added_manifests
+        )
+        if n <= self.prop_int("scan.plan-distributed-threshold", 10_000):
+            removed_by = {
+                e.path: e
+                for e in mf.read_manifests(self.metadata_dir, removed_manifests)
+            }
+            added_by = {
+                e.path: e
+                for e in mf.read_manifests(self.metadata_dir, added_manifests)
+            }
+            inserts = [e for p, e in added_by.items() if p not in removed_by]
+            deletes = [e for p, e in removed_by.items() if p not in added_by]
+            changed: list[tuple[str, list[str], list[str]]] = []
+            for p, ce in added_by.items():
+                pe = removed_by.get(p)
+                if pe is None:
+                    continue
+                pdv = {d["path"] for d in pe.deletes}
+                cdv = {d["path"] for d in ce.deletes}
+                if pdv != cdv:
+                    changed.append((p, sorted(cdv - pdv), sorted(pdv - cdv)))
+            return inserts, deletes, changed
+
+        def side(ms: list[str], col: str):
+            if not ms:
+                return None
+            return (
+                spark.read.schema(_entries_spark_schema())
+                .parquet(*[os.path.join(self.metadata_dir, m) for m in ms])
+                .select("path", F.coalesce("deletes", F.lit("[]")).alias(col))
+            )
+
+        a = side(added_manifests, "a_del")
+        r = side(removed_manifests, "r_del")
+        if a is None and r is None:
+            return [], [], []
+
+        def dv_paths(col: str):
+            return F.array_sort(
+                F.coalesce(
+                    F.transform(
+                        F.from_json(
+                            F.col(col), "array<struct<path:string,count:long>>"
+                        ),
+                        lambda x: x["path"],
+                    ),
+                    F.array().cast("array<string>"),
+                )
+            )
+
+        if a is None:
+            survivors = r.withColumn("a_del", F.lit(None).cast("string"))
+        elif r is None:
+            survivors = a.withColumn("r_del", F.lit(None).cast("string"))
+        else:
+            survivors = a.join(r, "path", "full_outer").filter(
+                F.col("a_del").isNull()
+                | F.col("r_del").isNull()
+                | (dv_paths("a_del") != dv_paths("r_del"))
+            )
+        rows = survivors.select("path", "a_del", "r_del").collect()
+        inserts, deletes, changed = [], [], []
+        for row in rows:
+            if row["r_del"] is None:
+                inserts.append(
+                    mf.ManifestEntry(
+                        path=row["path"], partition={}, size_bytes=0,
+                        record_count=0, deletes=json.loads(row["a_del"]),
+                    )
+                )
+            elif row["a_del"] is None:
+                deletes.append(
+                    mf.ManifestEntry(
+                        path=row["path"], partition={}, size_bytes=0,
+                        record_count=0, deletes=json.loads(row["r_del"]),
+                    )
+                )
+            else:
+                pdv = {d["path"] for d in json.loads(row["r_del"])}
+                cdv = {d["path"] for d in json.loads(row["a_del"])}
+                changed.append((row["path"], sorted(cdv - pdv), sorted(pdv - cdv)))
+        return inserts, deletes, changed
 
     # ---- scan ---------------------------------------------------------------
     def scan(

@@ -157,6 +157,45 @@ def test_rollback_past_delete_resurrects_as_insert(spark, warehouse):
     _assert_apply_parity(spark, t, s1)
 
 
+def test_changelog_distributed_diff_parity(spark, warehouse):
+    """Force the distributed entry-diff route (threshold=1) through a
+    mixed append → MoR delete → CoW merge history and assert the same
+    apply-parity contract the driver route carries. A DV/overwrite commit
+    rewrites every manifest, so at warehouse scale the diff must not
+    materialize O(table) entries on the driver — this pins the Spark-job
+    route's correctness."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "ocel.images",
+        IMAGE_SCHEMA,
+        TableSpec(
+            partition_spec=PartitionSpec.bucket("image_id", 2),
+            sort_order=SortOrder.by("phash"),
+            properties={**PROPS, "scan.plan-distributed-threshold": "1"},
+        ),
+    )
+    t.append(
+        synth_images_df(spark, n_rows=120, seed=11), num_files=6, distribution="fragment"
+    )
+    s1 = t.current_snapshot().snapshot_id
+    doomed = _ids(t.scan(spark).filter("w = 32"))
+    t.append(
+        synth_images_df(spark, n_rows=30, seed=2).withColumn(
+            "image_id", F.concat(F.lit("d2_"), "image_id")
+        ),
+        num_files=2,
+    )
+    delete_where(spark, t.refresh(), "w = 32")
+    src = synth_merge_source_df(spark, 120, seed=9)
+    merge_into(spark, t.refresh(), src, sys_tables=SystemTables(cat.warehouse), table_name="ocel.images")
+    t = t.refresh()
+
+    ch = t.changelog_scan(spark, s1)
+    dels = _ids(ch.filter("_change_type = 'delete'"))
+    assert doomed <= dels  # the DV-delta rows surfaced through the join route
+    _assert_apply_parity(spark, t, s1)
+
+
 def test_changelog_empty_and_bad_range(spark, warehouse):
     _, t = _table(spark, warehouse)
     s1 = t.current_snapshot().snapshot_id
