@@ -341,7 +341,10 @@ class Table:
         return chain
 
     def incremental_entries(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        skip_non_append: bool = False,
     ) -> list[mf.ManifestEntry]:
         """Manifest entries appended in ``(from_snapshot_id, to_snapshot_id]``
         — Iceberg's incremental append scan. Walks the snapshot lineage
@@ -352,7 +355,11 @@ class Table:
         contribute nothing; any other operation in the range — overwrite,
         merge, rollback — means the delta is not append-only and raises
         :class:`IncrementalScanError`, as does an expired/unreachable start
-        snapshot. Cost is O(appended files), never O(table)."""
+        snapshot — unless ``skip_non_append`` (Iceberg's
+        streaming-skip-overwrite-snapshots option), which skips such
+        commits instead (the consumer sees appends only; deletes in the
+        range are NOT retracted). Cost is O(appended files), never
+        O(table)."""
         entries: list[mf.ManifestEntry] = []
         for s in self._lineage_chain(from_snapshot_id, to_snapshot_id):
             if s.operation == "append":
@@ -363,7 +370,7 @@ class Table:
                 )
                 added = [m for m in s.manifests if m not in parent_manifests]
                 entries.extend(mf.read_manifests(self.metadata_dir, added))
-            elif s.operation in ROW_PRESERVING_OPS:
+            elif s.operation in ROW_PRESERVING_OPS or skip_non_append:
                 continue
             else:
                 raise IncrementalScanError(
@@ -1058,6 +1065,21 @@ class Table:
         caller's bookkeeping (e.g. an index rebuild's freshness stamp)
         cannot be split from the data by a crash."""
         entries = self.write_data_files(df, num_files=num_files)
+        return self.commit_overwrite(
+            entries, extra_summary=extra_summary, set_properties=set_properties
+        )
+
+    def commit_overwrite(
+        self,
+        entries: list[mf.ManifestEntry],
+        extra_summary: dict | None = None,
+        set_properties: dict | None = None,
+    ) -> meta.Snapshot:
+        """Commit already-written files as the table's NEW full contents
+        (the metadata half of :meth:`overwrite`, for callers that wrote the
+        files themselves — e.g. the Spark data-source writer, whose
+        executors produce files + stats and ship only entry metadata to
+        this driver-side commit)."""
 
         def build(md: meta.TableMetadata) -> meta.Snapshot:
             seq = md.last_sequence_number + 1

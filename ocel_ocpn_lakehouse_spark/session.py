@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # binary image payloads make rows wide; keep maxRecordsPerBatch sane
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # the lakehouse Python data source translates pushed filters into
+        # manifest bounds/Bloom pruning (sources/table_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

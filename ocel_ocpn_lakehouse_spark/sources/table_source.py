@@ -1,0 +1,572 @@
+"""Spark Data Source integration: lakehouse tables behind the four verbs.
+
+    spark.dataSource.register(LakehouseDataSource)
+    spark.read.format("lakehouse").load(root)                 # batch scan
+    spark.readStream.format("lakehouse").load(root)           # incremental
+    df.write.format("lakehouse").mode(...).save(root)         # append/overwrite
+    df.writeStream.format("lakehouse").option("path", root)   # exactly-once
+
+Built on PySpark 4's Python Data Source API (pyspark.sql.datasource), so a
+user who knows only Spark's reader/writer surface — not this package's
+``Table`` API — gets manifest-pruned scans, MoR tombstone application,
+snapshot-incremental streaming, and atomic snapshot commits. Reference
+analog: the reference reaches its tables exclusively through the engine's
+Spark source (``spark.read.format(...)`` over Iceberg,
+ingest/production_bootstrap.py), which is exactly this surface.
+
+Scale shape:
+
+* **Planning** (``partitions()``) runs once on the driver, like Spark's own
+  ``InMemoryFileIndex`` — but AFTER manifest pruning, so a pruned-out file
+  never becomes driver state. Pushed filters (``pushFilters``) translate to
+  the same :class:`PrunePredicate` bounds/partition/Bloom checks the native
+  ``Table.scan`` uses; every filter is also handed back to Spark, which
+  re-evaluates it row-level (Iceberg's residual model — file pruning is a
+  superset guarantee, not row filtering).
+* **Reads** stream Arrow record batches straight from the Parquet column
+  reader to Spark — no Python row loop, one task per packed split of
+  ``read.split-target-bytes`` (files pack greedily, so 10^5 small files do
+  not become 10^5 tasks).
+* **Writes** produce per-task commit messages carrying footer stats +
+  Bloom filters computed EXECUTOR-side right after the file is written; the
+  driver's commit is pure metadata (O(#files) dicts), never re-opening a
+  data file. A failed job aborts by unlinking its own files; a crash
+  before commit leaves orphans for the maintenance sweep (same recovery
+  contract as ``Table.publish_staged``).
+* **Streaming reads** use snapshot ids as offsets: each micro-batch is
+  ``incremental_entries(start, end]`` — cost proportional to the delta's
+  appended files, never O(table). Row-preserving ``replace`` commits
+  (compaction/clustering) contribute nothing, so maintenance does not
+  disturb a live stream.
+* **Streaming writes** are exactly-once: the stream epoch rides in the
+  snapshot summary and the per-stream max-epoch table property advances in
+  the SAME metadata commit as the rows (the guard
+  :func:`streaming.ingest._epoch_committed` reads), so a replayed batch
+  after restart is detected and skipped whole.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+try:  # present in PySpark >= 4.0.0; alias keeps a clear error if renamed
+    from pyspark.sql.datasource import DataSourceStreamWriter
+except ImportError:  # pragma: no cover
+    DataSourceStreamWriter = object  # type: ignore[assignment]
+
+from ..core import manifests as mf
+from ..core import metadata as meta
+from ..core.table import (
+    DATA_DIR,
+    PrunePredicate,
+    Table,
+    entry_matches,
+    prepare_predicates,
+)
+
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+DEFAULT_BATCH_ROWS = 65_536
+
+
+# --------------------------------------------------------------------------
+# shared read machinery (executor-side)
+# --------------------------------------------------------------------------
+
+
+def _pack_splits(
+    root: str, entries: Sequence[mf.ManifestEntry], split_bytes: int
+) -> list[InputPartition]:
+    """Greedy first-fit packing of files into read splits: one Spark task
+    per ≈``split_bytes`` of data, not per file. Each file rides with its
+    DV paths so the executor applies tombstones locally — no join stage."""
+    splits: list[InputPartition] = []
+    cur: list[tuple[str, str, tuple[str, ...]]] = []
+    cur_bytes = 0
+    for e in sorted(entries, key=lambda x: x.path):
+        dv = tuple(os.path.join(root, d["path"]) for d in e.deletes)
+        cur.append((os.path.join(root, e.path), e.path, dv))
+        cur_bytes += max(int(e.size_bytes), 1)
+        if cur_bytes >= split_bytes:
+            splits.append(InputPartition(tuple(cur)))
+            cur, cur_bytes = [], 0
+    if cur:
+        splits.append(InputPartition(tuple(cur)))
+    return splits
+
+
+def _align_batch(batch, target_schema):
+    """Reorder/cast/null-fill one Arrow batch to the table's Arrow schema —
+    schema evolution (a file written before a column existed) null-fills,
+    exactly like the JVM reader under ``spark.read.schema(...)``."""
+    import pyarrow as pa
+
+    present = {n: i for i, n in enumerate(batch.schema.names)}
+    arrays = []
+    for field in target_schema:
+        i = present.get(field.name)
+        if i is None:
+            arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            continue
+        col = batch.column(i)
+        if col.type != field.type:
+            col = col.cast(field.type)
+        arrays.append(col)
+    return pa.RecordBatch.from_arrays(arrays, schema=target_schema)
+
+
+def _read_split(files, target_schema, batch_rows: int):
+    """Yield aligned Arrow batches for one split. MoR files mask tombstoned
+    positions with a numpy boolean filter per batch (positions are
+    file-global row indices; ``iter_batches`` is sequential, so an offset
+    counter recovers them) — the executor-local mirror of the JVM scan's
+    ``(_fp, _pos)`` anti-join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for abs_path, rel_path, dv_paths in files:
+        drop = None
+        if dv_paths:
+            parts = []
+            for dp in dv_paths:
+                t = pq.read_table(dp, columns=["path", "pos"])
+                t = t.filter(pc.equal(t["path"], rel_path))
+                parts.append(t["pos"].to_numpy(zero_copy_only=False))
+            pos = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+            drop = pos if len(pos) else None
+        pf = pq.ParquetFile(abs_path)
+        have = set(pf.schema_arrow.names)
+        cols = [n for n in target_schema.names if n in have]
+        offset = 0
+        for b in pf.iter_batches(columns=cols, batch_size=batch_rows):
+            n = b.num_rows
+            if drop is not None:
+                lo = int(np.searchsorted(drop, offset))
+                hi = int(np.searchsorted(drop, offset + n))
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[drop[lo:hi] - offset] = False
+                    b = b.filter(pa.array(mask))
+            offset += n
+            if b.num_rows:
+                yield _align_batch(b, target_schema)
+
+
+def _to_arrow_schema(schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+# --------------------------------------------------------------------------
+# filter translation
+# --------------------------------------------------------------------------
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+def _filter_to_predicate(f: Filter) -> PrunePredicate | None:
+    """Spark pushed filter → manifest prune predicate. Only top-level
+    columns participate (nested paths have no footer bounds here); anything
+    unrecognized simply doesn't prune — correctness never depends on this,
+    because every filter is returned to Spark for row-level evaluation."""
+    op = _OPS.get(type(f))
+    if op is None:
+        return None
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    value = f.value
+    if op == "in":
+        value = tuple(value)
+    return PrunePredicate(attr[0], op, value)
+
+
+# --------------------------------------------------------------------------
+# batch reader
+# --------------------------------------------------------------------------
+
+
+class _TableBatchReader(DataSourceReader):
+    def __init__(self, root: str, schema: T.StructType, options: dict):
+        self.root = root
+        self.arrow_schema = _to_arrow_schema(schema)
+        self.snapshot_id = _opt_int(options, "snapshot-id")
+        self.as_of_ms = _opt_int(options, "as-of-ms")
+        self.ref = options.get("ref")
+        self.split_bytes = _opt_int(options, "read.split-target-bytes") or DEFAULT_SPLIT_BYTES
+        self.batch_rows = _opt_int(options, "read.batch-rows") or DEFAULT_BATCH_ROWS
+        self._preds: list[PrunePredicate] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            p = _filter_to_predicate(f)
+            if p is not None:
+                self._preds.append(p)
+            # hand EVERY filter back: pruning is file-granular, Spark owns
+            # the row-level residual (Iceberg's pushdown contract)
+            yield f
+
+    def partitions(self):
+        table = Table(self.root, meta.load_metadata(self.root))
+        entries = table.live_entries(
+            snapshot_id=self.snapshot_id, as_of_ms=self.as_of_ms, ref=self.ref
+        )
+        if self._preds:
+            preds = prepare_predicates(self._preds)
+            entries = [e for e in entries if entry_matches(e, preds)]
+        if not entries:
+            return [InputPartition(())]
+        return _pack_splits(self.root, entries, self.split_bytes)
+
+    def read(self, partition: InputPartition):
+        yield from _read_split(partition.value, self.arrow_schema, self.batch_rows)
+
+
+# --------------------------------------------------------------------------
+# stream reader (snapshot-incremental)
+# --------------------------------------------------------------------------
+
+
+class _TableStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot ids (monotone sequence numbers; 0 = before the
+    first snapshot). Batch (start, end] = files appended between the two
+    snapshots; the initial offset 0 makes the first micro-batch a full
+    backfill of the current table (tombstones applied), after which every
+    batch costs O(delta)."""
+
+    def __init__(self, root: str, schema: T.StructType, options: dict):
+        self.root = root
+        self.arrow_schema = _to_arrow_schema(schema)
+        self.split_bytes = _opt_int(options, "read.split-target-bytes") or DEFAULT_SPLIT_BYTES
+        self.batch_rows = _opt_int(options, "read.batch-rows") or DEFAULT_BATCH_ROWS
+        self.skip_non_append = str(options.get("streaming.skip-non-append", "false")).lower() == "true"
+        self._start = _opt_int(options, "streaming.start-snapshot-id")
+        self._start_latest = str(options.get("streaming.start-latest", "false")).lower() == "true"
+
+    def _table(self) -> Table:
+        return Table(self.root, meta.load_metadata(self.root))
+
+    def initialOffset(self) -> dict:
+        if self._start is not None:
+            return {"snapshot_id": self._start}
+        if self._start_latest:
+            snap = self._table().current_snapshot()
+            return {"snapshot_id": snap.snapshot_id if snap else 0}
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        snap = self._table().current_snapshot()
+        return {"snapshot_id": snap.snapshot_id if snap else 0}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if s == e:
+            return [InputPartition(())]
+        table = self._table()
+        if s == 0:
+            entries = table.live_entries(snapshot_id=e)
+        else:
+            entries = table.incremental_entries(
+                s, e, skip_non_append=self.skip_non_append
+            )
+        if not entries:
+            return [InputPartition(())]
+        return _pack_splits(self.root, entries, self.split_bytes)
+
+    def read(self, partition: InputPartition):
+        yield from _read_split(partition.value, self.arrow_schema, self.batch_rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the table needs nothing
+
+
+# --------------------------------------------------------------------------
+# writers
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _FilesWritten(WriterCommitMessage):
+    # each element: ManifestEntry fields as a plain dict (jsonable/picklable)
+    entries: tuple
+
+
+def _partition_values(pdf, spec_fields):
+    """Partition-transform columns computed pandas-side (identity /
+    year / month / day — the same values ``PartitionField.to_column``
+    produces JVM-side). ``bucket`` needs Spark's xxhash64 and is routed to
+    ``Table.append`` instead, loudly."""
+    import pandas as pd
+
+    out = {}
+    for f in spec_fields:
+        src = pdf[f["source"]]
+        tr = f["transform"]
+        if tr == "identity":
+            out[f["name"]] = src
+        elif tr == "year":
+            out[f["name"]] = pd.to_datetime(src).dt.year.astype("int64")
+        elif tr == "month":
+            out[f["name"]] = pd.to_datetime(src).dt.strftime("%Y-%m")
+        elif tr == "day":
+            out[f["name"]] = pd.to_datetime(src).dt.strftime("%Y-%m-%d")
+        else:
+            raise ValueError(
+                f"partition transform {tr!r} is not computable Python-side; "
+                "write through Table.append (JVM xxhash64 bucketing)"
+            )
+    return out
+
+
+class _TableArrowWriter(DataSourceArrowWriter):
+    """Executor-side file writer shared by the batch and streaming sinks.
+
+    One parquet file per (task, partition value); footer stats + Blooms are
+    computed here, next to the bytes just written, so the driver-side
+    commit never opens a data file."""
+
+    def __init__(self, root: str, table: Table, overwrite: bool):
+        self.root = root
+        self.overwrite = overwrite
+        self.spec_fields = [f.to_dict() for f in table.partition_spec.fields]
+        self.partition_cols = [
+            ("_p_" + f["name"], f["name"]) for f in self.spec_fields
+        ]
+        self.sort_cols = [
+            (f.column, f.descending) for f in table.sort_order.fields
+        ]
+        self.stats_cols = sorted(table.stats_columns() or [])
+        self.bloom_cols = list(table.bloom_columns)
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        import pyarrow as pa
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FilesWritten(())
+        tbl = pa.Table.from_batches(batches)
+        groups: list[tuple[dict, pa.Table]]
+        if not self.spec_fields:
+            groups = [({}, tbl)]
+        else:
+            pdf = tbl.to_pandas()
+            pvals = _partition_values(pdf, self.spec_fields)
+            for name, col in pvals.items():
+                pdf["_p_" + name] = col
+            pcols = ["_p_" + f["name"] for f in self.spec_fields]
+            groups = []
+            for key, sub in pdf.groupby(pcols, dropna=False, sort=True):
+                key = key if isinstance(key, tuple) else (key,)
+                partition = {c: _plain(v) for c, v in zip(pcols, key)}
+                groups.append(
+                    (partition, pa.Table.from_pandas(
+                        sub.drop(columns=pcols), schema=tbl.schema, preserve_index=False
+                    ))
+                )
+        entries = []
+        for partition, sub in groups:
+            if self.sort_cols:
+                keys = [
+                    (c, "descending" if d else "ascending")
+                    for c, d in self.sort_cols
+                    if c in sub.column_names
+                ]
+                if keys:
+                    sub = sub.sort_by(keys)
+            entries.append(self._write_one(partition, sub))
+        return _FilesWritten(tuple(entries))
+
+    def _write_one(self, partition: dict, tbl) -> dict:
+        import pyarrow.parquet as pq
+
+        sub = "/".join(
+            f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for k, v in partition.items()
+        )
+        destdir = os.path.join(self.root, DATA_DIR, sub) if sub else os.path.join(self.root, DATA_DIR)
+        os.makedirs(destdir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.parquet"
+        abs_path = os.path.join(destdir, name)
+        pq.write_table(tbl, abs_path)
+        st = mf.footer_stats(abs_path, set(self.stats_cols) if self.stats_cols else None)
+        blooms = {}
+        if self.bloom_cols:
+            blooms = mf._file_blooms(abs_path, self.bloom_cols)
+        rel = os.path.join(DATA_DIR, sub, name) if sub else os.path.join(DATA_DIR, name)
+        return {
+            "path": rel,
+            "partition": partition,
+            "size_bytes": os.path.getsize(abs_path),
+            "record_count": st["record_count"],
+            "lower_bounds": st["lower_bounds"],
+            "upper_bounds": st["upper_bounds"],
+            "null_counts": st["null_counts"],
+            "blooms": blooms,
+        }
+
+    # ---- driver side ------------------------------------------------------
+    def _entries(self, messages) -> list[mf.ManifestEntry]:
+        return [
+            mf.ManifestEntry(**e)
+            for m in messages
+            if m is not None
+            for e in m.entries
+        ]
+
+    def _unlink(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for e in m.entries:
+                try:
+                    os.unlink(os.path.join(self.root, e["path"]))
+                except OSError:
+                    pass
+
+    def commit(self, messages) -> None:
+        table = Table(self.root, meta.load_metadata(self.root))
+        entries = self._entries(messages)
+        if self.overwrite:
+            table.commit_overwrite(entries)
+        else:
+            if not entries:
+                return
+            table.commit_append(entries)
+
+    def abort(self, messages) -> None:
+        self._unlink(messages)
+
+
+class _TableStreamWriter(_TableArrowWriter, DataSourceStreamWriter):
+    """Exactly-once streaming sink: the batch id is the stream epoch, and
+    the epoch marker + max-epoch property commit atomically with the rows
+    (same contract as :func:`streaming.ingest.stream_append`, without the
+    foreachBatch detour). A replayed batch re-writes its files, sees the
+    epoch already committed, and unlinks them instead of committing."""
+
+    def __init__(self, root: str, table: Table, stream_id: str):
+        super().__init__(root, table, overwrite=False)
+        self.stream_id = stream_id
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        from ..streaming.ingest import _epoch_committed, _max_epoch_prop
+
+        table = Table(self.root, meta.load_metadata(self.root))
+        if _epoch_committed(table, self.stream_id, int(batchId)):
+            self._unlink(messages)  # replay after restart: already in
+            return
+        entries = self._entries(messages)
+        if not entries:
+            return
+        table.commit_append(
+            entries,
+            extra_summary={"stream-id": self.stream_id, "stream-epoch": int(batchId)},
+            set_properties={_max_epoch_prop(self.stream_id): int(batchId)},
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        self._unlink(messages)
+
+
+# --------------------------------------------------------------------------
+# the data source
+# --------------------------------------------------------------------------
+
+
+def _opt_int(options: dict, key: str) -> int | None:
+    v = options.get(key)
+    return int(v) if v is not None else None
+
+
+def _plain(v):
+    """numpy scalar → python scalar for manifest partition dicts."""
+    return v.item() if hasattr(v, "item") else v
+
+
+class LakehouseDataSource(DataSource):
+    """``format("lakehouse")`` — see module docstring. The table root comes
+    from ``.load(path)`` / ``.option("path", ...)``; ``columns`` optionally
+    narrows the scan schema (manual projection pushdown — the Python data
+    source API does not yet push column pruning through)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lakehouse source needs a table root: .load(path) or .option('path', ...)")
+        return os.path.abspath(root)
+
+    def _table(self) -> Table:
+        return Table(self._root(), meta.load_metadata(self._root()))
+
+    def schema(self) -> T.StructType:
+        schema = self._table().schema
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            schema = T.StructType([schema[c] for c in want])
+        return schema
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _TableBatchReader(self._root(), schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return _TableStreamReader(self._root(), schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        table = self._table()
+        _check_write_schema(schema, table.schema)
+        return _TableArrowWriter(self._root(), table, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        table = self._table()
+        _check_write_schema(schema, table.schema)
+        return _TableStreamWriter(
+            self._root(), table, self.options.get("stream-id", "default")
+        )
+
+
+def _check_write_schema(incoming: T.StructType, target: T.StructType) -> None:
+    missing = [f.name for f in target.fields if f.name not in incoming.fieldNames()]
+    extra = [n for n in incoming.fieldNames() if n not in target.fieldNames()]
+    if missing or extra:
+        raise ValueError(
+            f"write schema mismatch: missing columns {missing}, unknown columns {extra}"
+        )
+
+
+def register_lakehouse_source(spark) -> None:
+    """Idempotent registration; after this, all four verbs work."""
+    spark.dataSource.register(LakehouseDataSource)

@@ -265,15 +265,17 @@ def test_stream_dedup_ingest_pruned_seen_probe(spark, tmp_path, monkeypatch):
         TableSpec(properties={"write.bloom-columns": "fp"}),
     )
 
-    # seed the corpus: 64 docs over 8 files, every file bloom-stamped on fp
+    # seed the corpus across ≥4 COMMITS (8 source files, 2 per micro-batch)
+    # so the table holds ≥4 bloom-stamped files — a single-batch seed can
+    # legally land as one file, which would make the pruning assert vacuous
     seed = spark.range(0, 64).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("seed text number "), F.col("id")).alias("text"),
     )
     spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in seed.collect()], st
-    ).write.mode("overwrite").parquet(str(src / "b1"))
-    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt)
+    ).repartition(8).write.mode("overwrite").parquet(str(src / "b1"))
+    stream_dedup_ingest(spark, t, str(src / "*"), st, ckpt, max_files_per_trigger=2)
     t = t.refresh()
     n_corpus_files = len(t.live_entries())
     assert n_corpus_files >= 4  # multi-file corpus, else pruning is vacuous

@@ -1,0 +1,290 @@
+"""Spark Data Source integration (format("lakehouse")): batch read with
+pushed-filter manifest pruning, MoR tombstone application, schema
+evolution null-fill, snapshot-incremental streaming reads surviving
+compaction, batch append/overwrite writes, and exactly-once streaming
+writes."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocel_ocpn_lakehouse_spark.core import Catalog, PartitionSpec, TableSpec
+from ocel_ocpn_lakehouse_spark.sources import register_lakehouse_source
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    register_lakehouse_source(spark)
+    return spark
+
+
+def _make_table(spark, tmp_path, name="ns.dsrc", rows=200, files=4, spec=None):
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table(name, SCHEMA, spec)
+    df = spark.range(0, rows).select(
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 86400).alias("ts"),
+    )
+    t.append(df, num_files=files)
+    return t
+
+
+def test_batch_read_roundtrip(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path)
+    got = spark.read.format("lakehouse").load(t.root)
+    assert got.count() == 200
+    assert [f.name for f in got.schema.fields] == ["id", "v", "ts"]
+    native = t.scan(spark)
+    assert got.exceptAll(native).count() == 0
+    assert native.exceptAll(got).count() == 0
+
+
+def test_batch_read_filter_pushdown_prunes_files(registered, tmp_path):
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns.pruned", SCHEMA)
+    # 4 appends with disjoint id ranges -> 4 files with disjoint bounds
+    for lo in range(0, 400, 100):
+        t.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            ),
+            num_files=1,
+        )
+    df = spark.read.format("lakehouse").load(t.root).filter(F.col("id") < 100)
+    assert df.count() == 100
+    # the residual filter still runs row-level: equality probe is exact
+    one = spark.read.format("lakehouse").load(t.root).filter(F.col("id") == 250)
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0]["v"] == "v250"
+    # file-level pruning: a bounds-disjoint predicate plans fewer splits
+    from ocel_ocpn_lakehouse_spark.sources.table_source import _TableBatchReader
+
+    rd = _TableBatchReader(t.root, t.schema, {})
+    list(rd.pushFilters([]))
+    all_splits = sum(len(p.value) for p in rd.partitions())
+    rd2 = _TableBatchReader(t.root, t.schema, {})
+    from pyspark.sql.datasource import LessThan
+
+    leftover = list(rd2.pushFilters([LessThan(("id",), 100)]))
+    assert len(leftover) == 1  # every filter handed back for row-level eval
+    pruned_splits = sum(len(p.value) for p in rd2.partitions())
+    assert all_splits == 4 and pruned_splits == 1
+
+
+def test_batch_read_applies_delete_vectors(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.mor")
+    from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+
+    src = spark.range(0, 50).select(
+        F.col("id"), F.lit("x").alias("v"),
+        F.timestamp_seconds(F.lit(0)).alias("ts"), F.lit("delete").alias("_op"),
+    )
+    merge_into(spark, t.refresh(), src, key="id", strategy="mor")
+    got = spark.read.format("lakehouse").load(t.root)
+    assert got.count() == 150
+    assert got.filter(F.col("id") < 50).count() == 0
+
+
+def test_batch_read_time_travel_and_columns(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.tt", rows=100, files=2)
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(
+        spark.range(100, 150).select(
+            F.col("id"), F.lit("late").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    old = (
+        spark.read.format("lakehouse")
+        .option("snapshot-id", snap1)
+        .option("columns", "id,v")
+        .load(t.root)
+    )
+    assert old.count() == 100
+    assert old.columns == ["id", "v"]
+
+
+def test_batch_read_schema_evolution_null_fills(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.evo", rows=50, files=1)
+    t.add_column("score", T.DoubleType())
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id"), F.lit("n").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+            F.lit(1.5).alias("score"),
+        )
+    )
+    got = spark.read.format("lakehouse").load(t.root)
+    assert got.filter(F.col("score").isNull()).count() == 50
+    assert got.filter(F.col("score") == 1.5).count() == 10
+
+
+def test_stream_read_incremental_and_maintenance_transparent(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.srcstream", rows=100, files=8)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # initial backfill
+    assert spark.read.parquet(out).count() == 100
+
+    # compaction between batches: a replace commit must contribute NOTHING
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+
+    execute_compaction(
+        spark, t.refresh(), SystemTables(str(tmp_path / "wh")), "ns.srcstream"
+    )
+    t.append(
+        spark.range(100, 130).select(
+            F.col("id"), F.lit("b").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    drain()  # only the 30-row delta arrives, not the compacted rewrite
+    assert spark.read.parquet(out).count() == 130
+    drain()  # nothing new -> nothing appended
+    assert spark.read.parquet(out).count() == 130
+
+
+def test_batch_write_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns.wsink", SCHEMA)
+    df = spark.range(0, 80).select(
+        F.col("id"), F.lit("w").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    )
+    df.write.format("lakehouse").mode("append").save(t.root)
+    t.refresh()
+    assert t.scan(spark).count() == 80
+    snap = t.current_snapshot()
+    assert snap.operation == "append"
+    # executor-computed stats landed in the manifest (bounds usable)
+    entries = t.live_entries()
+    assert all(e.record_count > 0 and "id" in e.lower_bounds for e in entries)
+
+    df2 = spark.range(0, 10).select(
+        F.col("id"), F.lit("o").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    )
+    df2.write.format("lakehouse").mode("overwrite").save(t.root)
+    t.refresh()
+    assert t.current_snapshot().operation == "overwrite"
+    assert t.scan(spark).count() == 10
+    # time travel still sees the pre-overwrite rows
+    assert t.scan(spark, snapshot_id=snap.snapshot_id).count() == 80
+
+
+def test_batch_write_partitioned_identity(registered, tmp_path):
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    from ocel_ocpn_lakehouse_spark.core.spec import PartitionField
+
+    spec = TableSpec(
+        partition_spec=PartitionSpec((PartitionField("v", "identity", "v"),))
+    )
+    t = cat.create_table("ns.wpart", SCHEMA, spec)
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    )
+    df.coalesce(1).write.format("lakehouse").mode("append").save(t.root)
+    t.refresh()
+    entries = t.live_entries()
+    parts = {e.partition.get("_p_v") for e in entries}
+    assert parts == {"even", "odd"}
+    # partition pruning works on the written layout
+    from ocel_ocpn_lakehouse_spark.core.table import PrunePredicate
+
+    pruned = t.scan(spark, prune=[PrunePredicate("_p_v", "=", "even")])
+    assert pruned.count() == 20
+
+
+def test_stream_write_exactly_once(registered, tmp_path):
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns.wstream", SCHEMA)
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "wckpt")
+    spark.range(0, 60).select(
+        F.col("id"), F.lit("s").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    ).write.parquet(str(src / "b1"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(src / "*"))
+            .writeStream.format("lakehouse")
+            .option("path", t.root)
+            .option("stream-id", "dsw")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.refresh()
+    assert t.scan(spark).count() == 60
+    snap = t.current_snapshot()
+    assert snap.summary.get("stream-id") == "dsw"
+    assert "stream-epoch" in snap.summary
+    n_snaps = len(t.snapshots())
+
+    drain()  # nothing new -> no commit
+    t.refresh()
+    assert len(t.snapshots()) == n_snaps
+
+    spark.range(60, 90).select(
+        F.col("id"), F.lit("s2").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    ).write.parquet(str(src / "b2"))
+    drain()
+    t.refresh()
+    assert t.scan(spark).count() == 90
+    # epoch guard property advanced atomically with the data
+    assert int(t.properties["stream.dsw.max-epoch"]) >= 1
+
+
+def test_write_schema_mismatch_rejected(registered, tmp_path):
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns.wbad", SCHEMA)
+    bad = spark.range(3).select(F.col("id"), F.lit("x").alias("wrong"))
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("lakehouse").mode("append").save(t.root)
