@@ -180,6 +180,92 @@ def _to_arrow_schema(schema: T.StructType):
 
 
 # --------------------------------------------------------------------------
+# metadata tables (Iceberg's table$entries / $snapshots / $refs parity)
+# --------------------------------------------------------------------------
+
+
+class _MetadataReader(DataSourceReader):
+    """``.option("metadata", "entries"|"snapshots"|"refs")`` — the table's
+    own metadata as a queryable relation. ``entries`` plans one partition
+    per manifest FILE (manifests are Parquet, streamed executor-side —
+    a 10^6-file table's entry listing never sits on the driver);
+    ``snapshots``/``refs`` are O(retention)/O(#refs) driver rows."""
+
+    def __init__(self, root: str, kind: str, schema: T.StructType):
+        self.root = root
+        self.kind = kind
+        self.arrow_schema = _to_arrow_schema(schema)
+
+    def partitions(self):
+        table = Table(self.root, meta.load_metadata(self.root))
+        if self.kind == "entries":
+            snap = table.current_snapshot()
+            manifests = snap.manifests if snap else []
+            mdir = table.metadata_dir
+            return [
+                InputPartition(("manifest", os.path.join(mdir, m)))
+                for m in manifests
+            ] or [InputPartition(("rows", ()))]
+        if self.kind == "snapshots":
+            import json as _json
+
+            rows = tuple(
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.sequence_number,
+                    s.timestamp_ms,
+                    s.operation,
+                    _json.dumps(s.summary, sort_keys=True, default=str),
+                    s.snapshot_id == table.md.current_snapshot_id,
+                )
+                for s in table.md.snapshots
+            )
+            return [InputPartition(("rows", rows))]
+        if self.kind == "refs":
+            rows = tuple(
+                (k, v, "branch" if k in table.md.branches else "tag")
+                for k, v in sorted(table.md.refs.items())
+            )
+            return [InputPartition(("rows", rows))]
+        raise ValueError(f"unknown metadata table {self.kind!r}")
+
+    def read(self, partition: InputPartition):
+        kind, payload = partition.value
+        if kind == "rows":
+            yield from payload
+            return
+        import pyarrow.parquet as pq
+
+        for b in pq.ParquetFile(payload).iter_batches(batch_size=DEFAULT_BATCH_ROWS):
+            yield _align_batch(b, self.arrow_schema)
+
+
+# built literally: DataSource methods run in a session-less Python worker,
+# where DDL-string parsing (a JVM call) is unavailable
+_METADATA_SCHEMAS = {
+    "snapshots": T.StructType(
+        [
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("parent_id", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
+            T.StructField("timestamp_ms", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("summary", T.StringType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    ),
+    "refs": T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("type", T.StringType()),
+        ]
+    ),
+}
+
+
+# --------------------------------------------------------------------------
 # filter translation
 # --------------------------------------------------------------------------
 
@@ -532,6 +618,16 @@ class LakehouseDataSource(DataSource):
         return Table(self._root(), meta.load_metadata(self._root()))
 
     def schema(self) -> T.StructType:
+        md = self.options.get("metadata")
+        if md:
+            if md == "entries":
+                from ..core.table import _entries_spark_schema
+
+                return _entries_spark_schema()
+            schema = _METADATA_SCHEMAS.get(md)
+            if schema is None:
+                raise ValueError(f"unknown metadata table {md!r}")
+            return schema
         schema = self._table().schema
         cols = self.options.get("columns")
         if cols:
@@ -540,6 +636,9 @@ class LakehouseDataSource(DataSource):
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        md = self.options.get("metadata")
+        if md:
+            return _MetadataReader(self._root(), md, schema)
         return _TableBatchReader(self._root(), schema, dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:

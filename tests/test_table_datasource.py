@@ -288,3 +288,26 @@ def test_write_schema_mismatch_rejected(registered, tmp_path):
     bad = spark.range(3).select(F.col("id"), F.lit("x").alias("wrong"))
     with pytest.raises(Exception, match="schema mismatch"):
         bad.write.format("lakehouse").mode("append").save(t.root)
+
+
+def test_metadata_tables(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.meta", rows=100, files=4)
+    t.create_tag("v1", t.current_snapshot().snapshot_id)
+
+    entries = (
+        spark.read.format("lakehouse").option("metadata", "entries").load(t.root)
+    )
+    assert entries.count() == len(t.live_entries())
+    assert entries.agg(F.sum("record_count")).first()[0] == 100
+
+    snaps = (
+        spark.read.format("lakehouse").option("metadata", "snapshots").load(t.root)
+    )
+    rows = snaps.collect()
+    assert len(rows) == len(t.snapshots())
+    assert sum(1 for r in rows if r["is_current"]) == 1
+
+    refs = spark.read.format("lakehouse").option("metadata", "refs").load(t.root)
+    ref_rows = {r["name"]: r["type"] for r in refs.collect()}
+    assert ref_rows.get("v1") == "tag"
