@@ -18,6 +18,8 @@ SURVEY §3.2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -613,6 +615,50 @@ FROM events GROUP BY event_type
 """
 
 
+# --- q53: Spark data-source round trip (S7/K5 — sources/table_source.py) ------
+
+
+def q53_datasource_scan(spark, sf_dir):
+    """The four-verb surface under the correctness gate: part rows land in
+    a lakehouse table through ``df.write.format("lakehouse")`` (executor-
+    side footer stats + pure-metadata commit), then the aggregate reads
+    back through ``spark.read.format("lakehouse")`` with the filter pushed
+    down to manifest bounds pruning and re-applied row-level. The oracle
+    runs the same aggregate on the raw parquet — equality proves the
+    write→manifest→pruned-scan round trip loses and invents nothing."""
+    import tempfile
+
+    from ..core import Catalog
+    from ..sources import register_lakehouse_source
+
+    # the grading driver's session may not pre-set this; it is runtime-safe
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_lakehouse_source(spark)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    cat = Catalog(tempfile.mkdtemp(prefix="q53_wh_"))
+    t = cat.create_table("q53.part", part.schema)
+    part.write.format("lakehouse").mode("append").save(t.root)
+    return (
+        spark.read.format("lakehouse")
+        .load(t.root)
+        .filter(F.col("p_size") <= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            F.min("p_partkey").alias("min_key"),
+        )
+    )
+
+
+Q53_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(sum(p_retailprice), 2) AS sum_price,
+       min(p_partkey) AS min_key
+FROM part WHERE p_size <= 10 GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_activity_metrics": q02_activity_metrics,
@@ -638,9 +684,11 @@ QUERIES = {
     "q22_levenshtein": q22_levenshtein,
     "q34_running_total": q34_running_total,
     "q35_approx_distinct": q35_approx_distinct,
+    "q53_datasource_scan": q53_datasource_scan,
 }
 
 ORACLES = {
+    "q53_datasource_scan": Q53_SQL,
     "q34_running_total": Q34_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_activity_metrics": Q02_SQL,
