@@ -30,6 +30,7 @@ def main(argv=None) -> int:
             "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
             "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
             "auto", "image-dedup", "branch", "publish", "replicate",
+            "rewrite-deletes",
         ],
     )
     ap.add_argument(
@@ -233,8 +234,15 @@ def main(argv=None) -> int:
             # itself a distributed job worth not paying twice).
             from .compact import plan_auto
 
+            # tombstone debt routes by DEAD-ROW ratio: a table whose files
+            # merely reference many small DV files (heavy CDC, few rows
+            # actually dead) gets the cheap tombstone-side consolidation
+            # below, not a payload rewrite — at 10^12 images rewriting
+            # bytes to absorb a 0.1% dead fraction is the wrong trade.
+            dead_ratio = h.dead_rows / max(h.total_records, 1)
+            absorb = float(t.properties.get("compact.dead-row-absorb-ratio", 0.05))
             plan = []
-            if h.small_files >= 2 or h.tombstoned_files > 0:
+            if h.small_files >= 2 or (h.tombstoned_files > 0 and dead_ratio >= absorb):
                 plan = plan_auto(spark, t)
             rep["plan_groups"] = len(plan)
             needs_rewrite = bool(plan)
@@ -270,6 +278,23 @@ def main(argv=None) -> int:
                         t, retries=args.retries,
                     )
                     actions.append("rewrite")
+            elif h.tombstoned_files > 0:
+                # no data rewrite warranted, but MoR debt exists: consolidate
+                # the delete-vector side only (Iceberg's
+                # rewrite_position_delete_files) — scans stop opening K
+                # tombstone files per data file without a single payload
+                # byte moving. plan_rewrite_deletes is a driver pass over
+                # the entries health already read; it yields nothing when
+                # every file carries at most one DV reference.
+                from .rewrite_deletes import plan_rewrite_deletes, rewrite_deletes
+
+                if plan_rewrite_deletes(t):
+                    rep["rewrite_deletes"] = run_with_conflict_retry(
+                        lambda: rewrite_deletes(spark, t.refresh()),
+                        t, retries=args.retries,
+                    )
+                    if rep["rewrite_deletes"].get("status") == "ok":
+                        actions.append("rewrite-deletes")
             if h.snapshot_count > 100 or args.retention_days is not None:
                 rep["expire"] = expire_snapshots(
                     spark,
@@ -304,6 +329,13 @@ def main(argv=None) -> int:
 
         if args.op == "orphans":
             rep["orphans"] = sweep_orphans(t, older_than_hours=args.orphan_grace_hours)
+
+        if args.op == "rewrite-deletes":
+            from .rewrite_deletes import rewrite_deletes
+
+            rep["rewrite_deletes"] = run_with_conflict_retry(
+                lambda: rewrite_deletes(spark, t.refresh()), t, retries=args.retries
+            )
 
         if args.op == "delete":
             if not args.where:
