@@ -342,15 +342,89 @@ class _TableBatchReader(DataSourceReader):
 # --------------------------------------------------------------------------
 
 
+CHANGELOG_META_FIELDS = [
+    T.StructField("_change_type", T.StringType(), False),
+    T.StructField("_change_ordinal", T.IntegerType(), False),
+    T.StructField("_commit_snapshot_id", T.LongType(), False),
+]
+
+
+def _with_change_meta(batch, ctype: str, ordinal: int, snap_id: int):
+    """Append the Iceberg changelog metadata columns to one Arrow batch."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    arrays = list(batch.columns) + [
+        pa.array([ctype] * n, type=pa.string()),
+        pa.array([ordinal] * n, type=pa.int32()),
+        pa.array([snap_id] * n, type=pa.int64()),
+    ]
+    names = list(batch.schema.names) + [
+        "_change_type", "_change_ordinal", "_commit_snapshot_id",
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _read_positions_split(files, dv_paths, target_schema, batch_rows: int):
+    """Rows of ``files`` at EXACTLY the positions the delta DV files list
+    for them (the MoR-delete / rollback-resurrect image) — the executor-
+    local mirror of changelog_scan's ``rows_at`` semi-join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dv_tables = [pq.read_table(dp, columns=["path", "pos"]) for dp in dv_paths]
+    for abs_path, rel_path in files:
+        parts = [
+            t.filter(pc.equal(t["path"], rel_path))["pos"].to_numpy(zero_copy_only=False)
+            for t in dv_tables
+        ]
+        keep = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        if not len(keep):
+            continue
+        pf = pq.ParquetFile(abs_path)
+        have = set(pf.schema_arrow.names)
+        cols = [n for n in target_schema.names if n in have]
+        offset = 0
+        for b in pf.iter_batches(columns=cols, batch_size=batch_rows):
+            n = b.num_rows
+            lo = int(np.searchsorted(keep, offset))
+            hi = int(np.searchsorted(keep, offset + n))
+            if hi > lo:
+                mask = np.zeros(n, dtype=bool)
+                mask[keep[lo:hi] - offset] = True
+                sub = b.filter(pa.array(mask))
+                yield _align_batch(sub, target_schema)
+            offset += n
+
+
 class _TableStreamReader(DataSourceStreamReader):
     """Offsets are snapshot ids (monotone sequence numbers; 0 = before the
     first snapshot). Batch (start, end] = files appended between the two
     snapshots; the initial offset 0 makes the first micro-batch a full
     backfill of the current table (tombstones applied), after which every
-    batch costs O(delta)."""
+    batch costs O(delta).
+
+    ``streaming.mode=changelog`` upgrades the stream to row-level CDC:
+    each micro-batch emits every insert AND delete between the two
+    snapshots with the Iceberg changelog metadata columns
+    (``_change_type``/``_change_ordinal``/``_commit_snapshot_id``) —
+    overwrites and CoW merges emit delete pre-images, MoR delete commits
+    emit exactly the newly tombstoned positions, rollbacks resurrect them,
+    and row-preserving ``replace`` commits (maintenance) emit nothing. The
+    commit diff runs at manifest granularity in the planning worker (same
+    shape as ``Table._changelog_diff``'s driver route); for manifest sets
+    beyond ~10^5 entries the batch ``changelog_scan`` (distributed diff)
+    is the right tool. Offset 0 boots the stream with the current live
+    rows as ``insert`` — Debezium-style initial snapshot + tail."""
 
     def __init__(self, root: str, schema: T.StructType, options: dict):
         self.root = root
+        self.changelog = options.get("streaming.mode", "append") == "changelog"
+        if self.changelog:
+            base = T.StructType(schema.fields[: -len(CHANGELOG_META_FIELDS)])
+            self.base_arrow_schema = _to_arrow_schema(base)
         self.arrow_schema = _to_arrow_schema(schema)
         self.split_bytes = _opt_int(options, "read.split-target-bytes") or DEFAULT_SPLIT_BYTES
         self.batch_rows = _opt_int(options, "read.batch-rows") or DEFAULT_BATCH_ROWS
@@ -378,6 +452,8 @@ class _TableStreamReader(DataSourceStreamReader):
         if s == e:
             return [InputPartition(())]
         table = self._table()
+        if self.changelog:
+            return self._changelog_partitions(table, s, e) or [InputPartition(())]
         if s == 0:
             entries = table.live_entries(snapshot_id=e)
         else:
@@ -388,8 +464,96 @@ class _TableStreamReader(DataSourceStreamReader):
             return [InputPartition(())]
         return _pack_splits(self.root, entries, self.split_bytes)
 
+    def _changelog_partitions(self, table: Table, s: int, e: int):
+        """One commit → file-level entry diff → tagged read splits. Splits
+        pack like the plain scan; each carries its change tag so executors
+        never coordinate."""
+        from ..core.table import ROW_PRESERVING_OPS
+
+        parts: list[InputPartition] = []
+
+        def emit_of(entries, ctype, ordinal, snap_id):
+            for split in _pack_splits(self.root, entries, self.split_bytes):
+                parts.append(
+                    InputPartition(("of", split.value, (), ctype, ordinal, snap_id))
+                )
+
+        def emit_at(paths, dv_rel, ctype, ordinal, snap_id):
+            files = tuple(
+                (os.path.join(self.root, p), p) for p in sorted(paths)
+            )
+            dv_abs = tuple(os.path.join(self.root, d) for d in sorted(dv_rel))
+            parts.append(InputPartition(("at", files, dv_abs, ctype, ordinal, snap_id)))
+
+        if s == 0:  # initial snapshot: current live rows as inserts
+            emit_of(table.live_entries(snapshot_id=e), "insert", 0, e)
+            return parts
+
+        ordinal = 0
+        for snap in table._lineage_chain(s, e):
+            if snap.operation in ROW_PRESERVING_OPS:
+                continue
+            parent = (
+                table.md.snapshot_by_id(snap.parent_id)
+                if snap.parent_id is not None
+                else None
+            )
+            pman = set(parent.manifests) if parent else set()
+            cman = set(snap.manifests)
+            removed = {
+                en.path: en
+                for en in mf.read_manifests(
+                    table.metadata_dir, [m for m in (parent.manifests if parent else []) if m not in cman]
+                )
+            }
+            added = {
+                en.path: en
+                for en in mf.read_manifests(
+                    table.metadata_dir, [m for m in snap.manifests if m not in pman]
+                )
+            }
+            emit_of(
+                [en for p, en in added.items() if p not in removed],
+                "insert", ordinal, snap.snapshot_id,
+            )
+            emit_of(
+                [en for p, en in removed.items() if p not in added],
+                "delete", ordinal, snap.snapshot_id,
+            )
+            grew: dict[frozenset, list[str]] = {}
+            shrank: dict[frozenset, list[str]] = {}
+            for p, ce in added.items():
+                pe = removed.get(p)
+                if pe is None:
+                    continue
+                pdv = {d["path"] for d in pe.deletes}
+                cdv = {d["path"] for d in ce.deletes}
+                if cdv - pdv:
+                    grew.setdefault(frozenset(cdv - pdv), []).append(p)
+                if pdv - cdv:
+                    shrank.setdefault(frozenset(pdv - cdv), []).append(p)
+            for dvs, paths in sorted(grew.items(), key=lambda kv: kv[1]):
+                emit_at(paths, sorted(dvs), "delete", ordinal, snap.snapshot_id)
+            for dvs, paths in sorted(shrank.items(), key=lambda kv: kv[1]):
+                emit_at(paths, sorted(dvs), "insert", ordinal, snap.snapshot_id)
+            ordinal += 1
+        return parts
+
     def read(self, partition: InputPartition):
-        yield from _read_split(partition.value, self.arrow_schema, self.batch_rows)
+        if not self.changelog:
+            yield from _read_split(partition.value, self.arrow_schema, self.batch_rows)
+            return
+        if not partition.value:
+            return
+        kind, files, dv_abs, ctype, ordinal, snap_id = partition.value
+        if kind == "of":
+            batches = _read_split(files, self.base_arrow_schema, self.batch_rows)
+        else:
+            batches = _read_positions_split(
+                files, dv_abs, self.base_arrow_schema, self.batch_rows
+            )
+        for b in batches:
+            yield _with_change_meta(b, ctype, ordinal, snap_id)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the table needs nothing
@@ -633,6 +797,8 @@ class LakehouseDataSource(DataSource):
         if cols:
             want = [c.strip() for c in cols.split(",") if c.strip()]
             schema = T.StructType([schema[c] for c in want])
+        if self.options.get("streaming.mode") == "changelog":
+            schema = T.StructType(list(schema.fields) + CHANGELOG_META_FIELDS)
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

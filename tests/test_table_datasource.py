@@ -311,3 +311,63 @@ def test_metadata_tables(registered, tmp_path):
     refs = spark.read.format("lakehouse").option("metadata", "refs").load(t.root)
     ref_rows = {r["name"]: r["type"] for r in refs.collect()}
     assert ref_rows.get("v1") == "tag"
+
+
+def test_stream_changelog_mode_matches_batch_changelog(registered, tmp_path):
+    """streaming.mode=changelog: the stream's accumulated rows across a
+    mixed commit sequence (append → MoR delete → compaction replace →
+    append) must equal the batch changelog_scan over the same range, and
+    an initial-offset batch must boot with the live rows as inserts."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.cdc", rows=100, files=4)
+    boot_snap = t.current_snapshot().snapshot_id
+
+    out = str(tmp_path / "cdcout")
+    ckpt = str(tmp_path / "cdcckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("streaming.mode", "changelog")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # initial snapshot: 100 inserts
+    got0 = spark.read.parquet(out)
+    assert got0.count() == 100
+    assert {r["_change_type"] for r in got0.select("_change_type").distinct().collect()} == {"insert"}
+
+    # MoR delete + maintenance replace + append, then tail the stream
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+    from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+
+    delete_where(spark, t.refresh(), "id < 10")
+    execute_compaction(spark, t.refresh(), SystemTables(str(tmp_path / "wh")), "ns.cdc")
+    t.refresh().append(
+        spark.range(200, 230).select(
+            F.col("id"), F.lit("tail").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    t.refresh()
+    drain()
+
+    streamed = spark.read.parquet(out).filter(F.col("_commit_snapshot_id") > boot_snap)
+    batch = t.changelog_scan(spark, boot_snap)
+    # same multiset of (id, change_type) — ordinals differ (the stream
+    # numbers per micro-batch, the batch scan across the whole range)
+    a = streamed.select("id", "_change_type")
+    b = batch.select("id", "_change_type")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the replace commit contributed nothing
+    assert streamed.count() == 10 + 30  # 10 deletes + 30 tail inserts
+
+    drain()  # idle
+    assert spark.read.parquet(out).count() == 100 + 40
