@@ -176,3 +176,123 @@ def replica_is_fresh(source: Table, replica: Table) -> bool:
     cur = source.current_snapshot()
     rec = replica.properties.get(SOURCE_SNAPSHOT_PROP)
     return cur is not None and rec is not None and int(rec) == cur.snapshot_id
+
+
+def stream_replica(
+    spark: SparkSession,
+    source: Table,
+    catalog: Catalog,
+    replica_name: str,
+    checkpoint_dir: str,
+    key: str = "image_id",
+    strategy: str | None = None,
+    stream_id: str | None = None,
+) -> int:
+    """Continuous mirror: drain the source's row-level CDC STREAM
+    (``readStream.format("lakehouse")`` with ``streaming.mode=changelog``)
+    into the replica, one MERGE INTO per micro-batch, exactly-once.
+
+    Composition of three already-proven pieces: the changelog stream
+    source (offset 0 boots with the live rows as inserts, so the first
+    batch IS the bootstrap copy and no separate path exists), the
+    net-effect collapse from :func:`sync_replica` (per key, the
+    highest-(commit, ordinal) change wins, insert beating delete within
+    a commit), and the stream-epoch guard from streaming.ingest — the
+    epoch marker, the max-epoch property, and the replica's
+    source-snapshot stamp all ride in the SAME merge commit, so a
+    replayed batch after restart is skipped whole and a crash can never
+    leave the stamp ahead of (or behind) the applied rows.
+
+    Per-drain cost ∝ changed source files + touched replica files (the
+    stream reads manifest diffs; the MERGE probes bucket/Bloom-pruned
+    candidates) — never O(table) on either side. Returns the number of
+    micro-batches committed this run."""
+    from ..sources.table_source import register_lakehouse_source
+    from ..streaming.ingest import _epoch_committed, _max_epoch_prop
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_lakehouse_source(spark)
+    if not catalog.table_exists(replica_name):
+        catalog.create_table(
+            replica_name,
+            source.schema,
+            TableSpec(
+                partition_spec=source.partition_spec,
+                sort_order=source.sort_order,
+            ),
+        )
+    replica = catalog.load_table(replica_name)
+    sid = stream_id or f"replica:{replica_name}"
+    data_cols = source.schema.fieldNames()
+    committed = {"n": 0}
+
+    def apply(batch_df, epoch_id: int) -> None:
+        replica.refresh()
+        if _epoch_committed(replica, sid, int(epoch_id)):
+            return  # replayed batch after restart
+        if batch_df.isEmpty():
+            return
+        win = Window.partitionBy(key).orderBy(
+            F.col("_commit_snapshot_id").desc(),
+            F.col("_change_ordinal").desc(),
+            (F.col("_change_type") == "insert").cast("int").desc(),
+        )
+        net = (
+            batch_df.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *data_cols,
+                F.when(F.col("_change_type") == "insert", F.lit("upsert"))
+                .otherwise(F.lit("delete"))
+                .alias("_op"),
+            )
+        )
+        hi = batch_df.agg(F.max("_commit_snapshot_id")).first()[0]
+        merge_into(
+            spark,
+            replica,
+            net,
+            key=key,
+            strategy=strategy,
+            table_name=replica_name,
+            extra_summary={"stream-id": sid, "stream-epoch": int(epoch_id)},
+            set_properties={
+                _max_epoch_prop(sid): int(epoch_id),
+                SOURCE_SNAPSHOT_PROP: int(hi),
+            },
+        )
+        committed["n"] += 1
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("streaming.mode", "changelog")
+        .load(source.root)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # maintenance-only tail: replace commits emit no changelog rows, so the
+    # per-batch stamp (max applied commit id) can lag the source head even
+    # though the replica is byte-identical. If everything between the stamp
+    # and the head is row-preserving, advance the stamp (the batch path's
+    # 'restamped' outcome). A lagging stamp is always SAFE (net-effect
+    # re-apply is idempotent) — this only avoids wasted future work.
+    source.refresh()
+    replica.refresh()
+    cur = source.current_snapshot()
+    rec = replica.properties.get(SOURCE_SNAPSHOT_PROP)
+    if cur is not None and rec is not None and int(rec) != cur.snapshot_id:
+        from ..core.table import ROW_PRESERVING_OPS
+
+        try:
+            chain = source._lineage_chain(int(rec), cur.snapshot_id)
+        except IncrementalScanError:
+            chain = None  # stamp expired out of history; next drain resyncs
+        if chain is not None and all(
+            s.operation in ROW_PRESERVING_OPS for s in chain
+        ):
+            _stamp_only(replica, cur.snapshot_id)
+    return committed["n"]

@@ -119,3 +119,37 @@ def test_replica_full_resync_when_stamp_expired(spark, warehouse):
     assert r["status"] == "resync"
     _assert_mirror(spark, cat, t)
     assert sync_replica(spark, t.refresh(), cat, "ocel.images_replica")["status"] == "fresh"
+
+
+def test_stream_replica_continuous_mirror(spark, warehouse, tmp_path):
+    """stream_replica: the CDC-stream-driven mirror bootstraps from the
+    offset-0 batch, follows MoR deletes and upserts exactly-once, ignores
+    maintenance commits, and a replayed drain commits nothing."""
+    from ocel_ocpn_lakehouse_spark.maintenance.replicate import stream_replica
+
+    cat, t = _source(spark, warehouse)
+    ckpt = str(tmp_path / "repl_ckpt")
+
+    n = stream_replica(spark, t, cat, "ocel.images_replica", ckpt)
+    assert n == 1  # bootstrap = the initial-offset batch, one MERGE
+    _assert_mirror(spark, cat, t)
+    rep = cat.load_table("ocel.images_replica")
+    n_snaps = len(rep.snapshots())
+
+    # idle drain: no source change -> no batch, no commit
+    assert stream_replica(spark, t, cat, "ocel.images_replica", ckpt) == 0
+    assert len(cat.load_table("ocel.images_replica").snapshots()) == n_snaps
+
+    # mutate: MoR delete + upsert batch + maintenance replace
+    delete_where(spark, t.refresh(), "w = 32")
+    merge_into(
+        spark, t.refresh(), synth_merge_source_df(spark, 150, seed=12), strategy="mor"
+    )
+    execute_compaction(spark, t.refresh(), SystemTables(warehouse), "ocel.images")
+    t.refresh()
+
+    n2 = stream_replica(spark, t, cat, "ocel.images_replica", ckpt)
+    assert n2 >= 1
+    _assert_mirror(spark, cat, t)
+    # stamp advanced to the source head atomically with the last apply
+    assert replica_is_fresh(t, cat.load_table("ocel.images_replica"))
