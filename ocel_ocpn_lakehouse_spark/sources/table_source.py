@@ -620,6 +620,11 @@ class _TableArrowWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         import pyarrow as pa
 
+        if not self.spec_fields and not self.sort_cols:
+            # nothing forces materialization: stream batches straight to
+            # the file writer — task memory stays one Arrow batch deep
+            # regardless of partition size (image payloads are wide)
+            return self._write_streaming(iterator)
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return _FilesWritten(())
@@ -655,6 +660,28 @@ class _TableArrowWriter(DataSourceArrowWriter):
             entries.append(self._write_one(partition, sub))
         return _FilesWritten(tuple(entries))
 
+    def _write_streaming(self, iterator: Iterator) -> WriterCommitMessage:
+        import pyarrow.parquet as pq
+
+        destdir = os.path.join(self.root, DATA_DIR)
+        os.makedirs(destdir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.parquet"
+        abs_path = os.path.join(destdir, name)
+        writer = None
+        try:
+            for b in iterator:
+                if not b.num_rows:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(abs_path, b.schema)
+                writer.write_batch(b)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _FilesWritten(())
+        return _FilesWritten((self._entry_for(abs_path, {}),))
+
     def _write_one(self, partition: dict, tbl) -> dict:
         import pyarrow.parquet as pq
 
@@ -667,13 +694,17 @@ class _TableArrowWriter(DataSourceArrowWriter):
         name = f"{uuid.uuid4().hex}.parquet"
         abs_path = os.path.join(destdir, name)
         pq.write_table(tbl, abs_path)
+        return self._entry_for(abs_path, partition)
+
+    def _entry_for(self, abs_path: str, partition: dict) -> dict:
+        """Footer stats + Blooms, computed HERE next to the bytes just
+        written — the commit message ships metadata only."""
         st = mf.footer_stats(abs_path, set(self.stats_cols) if self.stats_cols else None)
         blooms = {}
         if self.bloom_cols:
             blooms = mf._file_blooms(abs_path, self.bloom_cols)
-        rel = os.path.join(DATA_DIR, sub, name) if sub else os.path.join(DATA_DIR, name)
         return {
-            "path": rel,
+            "path": os.path.relpath(abs_path, self.root),
             "partition": partition,
             "size_bytes": os.path.getsize(abs_path),
             "record_count": st["record_count"],

@@ -371,3 +371,51 @@ def test_stream_changelog_mode_matches_batch_changelog(registered, tmp_path):
 
     drain()  # idle
     assert spark.read.parquet(out).count() == 100 + 40
+
+
+def test_stream_read_skip_non_append(registered, tmp_path):
+    """An overwrite mid-stream fails the strict incremental read with a
+    clear error; streaming.skip-non-append skips it (appends-only feed,
+    Iceberg's skip-overwrite-snapshots)."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.skipna", rows=40, files=1)
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def drain(opts=None):
+        r = spark.readStream.format("lakehouse")
+        for k, v in (opts or {}).items():
+            r = r.option(k, v)
+        q = (
+            r.load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 40
+    # overwrite, then append on top
+    t.overwrite(
+        spark.range(0, 5).select(
+            F.col("id"), F.lit("ow").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    t.append(
+        spark.range(500, 520).select(
+            F.col("id"), F.lit("ap").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-append"):
+        drain()
+    # with the skip option the stream survives: only the append lands
+    drain({"streaming.skip-non-append": "true"})
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.filter(F.col("v") == "ap").count() == 20
