@@ -76,3 +76,35 @@ class Catalog:
             for d in os.listdir(base)
             if meta.current_version(os.path.join(base, d)) is not None
         )
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if not d.startswith("_") and os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def register_views(self, spark) -> dict[str, str]:
+        """SQL switchover: every table in the warehouse becomes a Spark
+        temp view backed by the lakehouse data source (manifest-pruned
+        scans with pushed-filter residuals), named ``<ns>_<table>``.
+        Returns {identifier: view name}.
+
+        Snapshot semantics: Spark caches the data source's scan planning
+        inside the relation, so a view reads the snapshot that was current
+        at REGISTRATION — every query over it is consistent, immune to
+        concurrent commits (the same isolation a long-running report
+        wants). Re-run ``register_views`` to advance all views to the
+        current snapshots (cheap: metadata-only re-plan)."""
+        from ..sources.table_source import register_lakehouse_source
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        register_lakehouse_source(spark)
+        out: dict[str, str] = {}
+        for ns in self.list_namespaces():
+            for ident in self.list_tables(ns):
+                view = ident.replace(".", "_")
+                root = self._root(ident)
+                spark.read.format("lakehouse").load(root).createOrReplaceTempView(view)
+                out[ident] = view
+        return out

@@ -419,3 +419,30 @@ def test_stream_read_skip_non_append(registered, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 60
     assert got.filter(F.col("v") == "ap").count() == 20
+
+
+def test_catalog_register_views_sql(registered, tmp_path):
+    """Catalog.register_views: plain spark.sql over every warehouse table.
+    Views read the snapshot current at registration (consistent reads,
+    immune to concurrent commits); re-registering advances them."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.sqlview", rows=60, files=2)
+    cat = Catalog(str(tmp_path / "wh"))
+    views = cat.register_views(spark)
+    assert views["ns.sqlview"] == "ns_sqlview"
+    assert spark.sql("SELECT count(*) n FROM ns_sqlview").first()["n"] == 60
+    # snapshot-pinned: a later append is INVISIBLE until re-registration —
+    # every query over the view is consistent with its registration point
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id"), F.lit("late").alias("v"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+        )
+    )
+    assert spark.sql("SELECT count(*) n FROM ns_sqlview").first()["n"] == 60
+    cat.register_views(spark)
+    assert spark.sql("SELECT count(*) n FROM ns_sqlview").first()["n"] == 70
+    got = spark.sql(
+        "SELECT v, count(*) n FROM ns_sqlview WHERE id >= 100 GROUP BY v"
+    ).collect()
+    assert got[0]["v"] == "late" and got[0]["n"] == 10
