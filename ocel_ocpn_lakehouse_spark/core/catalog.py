@@ -90,12 +90,14 @@ class Catalog:
         scans with pushed-filter residuals), named ``<ns>_<table>``.
         Returns {identifier: view name}.
 
-        Snapshot semantics: Spark caches the data source's scan planning
-        inside the relation, so a view reads the snapshot that was current
-        at REGISTRATION — every query over it is consistent, immune to
-        concurrent commits (the same isolation a long-running report
-        wants). Re-run ``register_views`` to advance all views to the
-        current snapshots (cheap: metadata-only re-plan)."""
+        Snapshot semantics: each view is PINNED to the table's current
+        snapshot at registration (the reader carries an explicit
+        ``snapshot-id``, so re-planning per query cannot drift to a newer
+        commit) — every query over it is consistent, immune to concurrent
+        commits (the same isolation a long-running report wants). Re-run
+        ``register_views`` to advance all views to the current snapshots
+        (cheap: metadata-only re-plan). A table with no snapshot yet
+        registers unpinned and reads empty until re-registered."""
         from ..sources.table_source import register_lakehouse_source
 
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -104,7 +106,11 @@ class Catalog:
         for ns in self.list_namespaces():
             for ident in self.list_tables(ns):
                 view = ident.replace(".", "_")
-                root = self._root(ident)
-                spark.read.format("lakehouse").load(root).createOrReplaceTempView(view)
+                table = self.load_table(ident)
+                reader = spark.read.format("lakehouse")
+                snap = table.current_snapshot()
+                if snap is not None:
+                    reader = reader.option("snapshot-id", snap.snapshot_id)
+                reader.load(table.root).createOrReplaceTempView(view)
                 out[ident] = view
         return out

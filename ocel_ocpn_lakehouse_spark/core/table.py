@@ -55,6 +55,53 @@ class IncrementalScanError(RuntimeError):
     snapshot expired). Callers fall back to a full recompute."""
 
 
+def diff_commit_entries(
+    metadata_dir: str,
+    removed_manifests: list[str],
+    added_manifests: list[str],
+) -> tuple[list[mf.ManifestEntry], list[mf.ManifestEntry], list[tuple[str, list[str], list[str]]]]:
+    """Path-wise entry diff of ONE commit: (added-only entries, removed-only
+    entries, [(path, new_dv_paths, gone_dv_paths)] for shared paths whose
+    tombstone set moved). The single definition of what row-level changes a
+    commit emitted — used by ``Table._changelog_diff``'s driver route and
+    the streaming CDC source's planning worker, so batch ``changelog_scan``
+    and ``streaming.mode=changelog`` can never disagree."""
+    removed_by = {
+        e.path: e for e in mf.read_manifests(metadata_dir, removed_manifests)
+    }
+    added_by = {
+        e.path: e for e in mf.read_manifests(metadata_dir, added_manifests)
+    }
+    inserts = [e for p, e in added_by.items() if p not in removed_by]
+    deletes = [e for p, e in removed_by.items() if p not in added_by]
+    changed: list[tuple[str, list[str], list[str]]] = []
+    for p, ce in added_by.items():
+        pe = removed_by.get(p)
+        if pe is None:
+            continue
+        pdv = {d["path"] for d in pe.deletes}
+        cdv = {d["path"] for d in ce.deletes}
+        if pdv != cdv:
+            changed.append((p, sorted(cdv - pdv), sorted(pdv - cdv)))
+    return inserts, deletes, changed
+
+
+def group_dv_delta(
+    changed: list[tuple[str, list[str], list[str]]],
+) -> tuple[dict[frozenset, list[str]], dict[frozenset, list[str]]]:
+    """Group DV-delta triples by identical tombstone delta (grew → deletes,
+    shrank → resurrect-inserts) so one positions-read serves every file
+    touched by the same delete commit (the common case: one DV file/commit)."""
+    grew: dict[frozenset, list[str]] = {}
+    shrank: dict[frozenset, list[str]] = {}
+    for p, new_dvs, gone_dvs in changed:
+        if new_dvs:
+            grew.setdefault(frozenset(new_dvs), []).append(p)
+        if gone_dvs:
+            shrank.setdefault(frozenset(gone_dvs), []).append(p)
+    return grew, shrank
+
+
 @dataclass
 class PrunePredicate:
     """A simple predicate usable for manifest-level file pruning.
@@ -520,13 +567,7 @@ class Table:
             # died (MoR delete); shrank → a rollback resurrected them. Group
             # by the DV delta so one semi-join serves every file touched by
             # the same delete commit (the common case: one DV file/commit).
-            grew: dict[frozenset, list[str]] = {}
-            shrank: dict[frozenset, list[str]] = {}
-            for p, new_dvs, gone_dvs in changed:
-                if new_dvs:
-                    grew.setdefault(frozenset(new_dvs), []).append(p)
-                if gone_dvs:
-                    shrank.setdefault(frozenset(gone_dvs), []).append(p)
+            grew, shrank = group_dv_delta(changed)
             for dvs, paths in sorted(grew.items(), key=lambda kv: kv[1]):
                 tag(rows_at(paths, sorted(dvs)), "delete")
             for dvs, paths in sorted(shrank.items(), key=lambda kv: kv[1]):
@@ -561,26 +602,9 @@ class Table:
             self._manifest_num_rows(m) for m in removed_manifests + added_manifests
         )
         if n <= self.prop_int("scan.plan-distributed-threshold", 10_000):
-            removed_by = {
-                e.path: e
-                for e in mf.read_manifests(self.metadata_dir, removed_manifests)
-            }
-            added_by = {
-                e.path: e
-                for e in mf.read_manifests(self.metadata_dir, added_manifests)
-            }
-            inserts = [e for p, e in added_by.items() if p not in removed_by]
-            deletes = [e for p, e in removed_by.items() if p not in added_by]
-            changed: list[tuple[str, list[str], list[str]]] = []
-            for p, ce in added_by.items():
-                pe = removed_by.get(p)
-                if pe is None:
-                    continue
-                pdv = {d["path"] for d in pe.deletes}
-                cdv = {d["path"] for d in ce.deletes}
-                if pdv != cdv:
-                    changed.append((p, sorted(cdv - pdv), sorted(pdv - cdv)))
-            return inserts, deletes, changed
+            return diff_commit_entries(
+                self.metadata_dir, removed_manifests, added_manifests
+            )
 
         def side(ms: list[str], col: str):
             if not ms:

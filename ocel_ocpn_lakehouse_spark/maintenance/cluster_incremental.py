@@ -427,6 +427,19 @@ def execute_cluster_incremental(
                 tbl = tbl.sort_by([(ZKEY_COL, "ascending")])
                 n_out = max(1, -(-int(est_bytes) // target))
                 cuts = np.linspace(0, tbl.num_rows, n_out + 1).astype(np.int64)
+                # snap interior cuts to the start of the equal-key run they
+                # land in: a _zkey value straddling two output files would
+                # give them touching bounds, and the NEXT pass's strict
+                # non-overlap check would misread that as a foreign writer
+                # and full-rewrite forever (duplicate keys are normal —
+                # low-cardinality key columns hash to equal curve keys)
+                if n_out > 1:
+                    zk = tbl.column(ZKEY_COL).to_numpy()
+                    for j in range(1, n_out):
+                        c = int(cuts[j])
+                        if 0 < c < len(zk):
+                            cuts[j] = np.searchsorted(zk, zk[c], side="left")
+                    cuts = np.maximum.accumulate(cuts)
                 for j in range(n_out):
                     sl = tbl.slice(int(cuts[j]), int(cuts[j + 1] - cuts[j]))
                     if sl.num_rows == 0:

@@ -127,6 +127,9 @@ def sync_replica(
         F.col("_change_ordinal").desc(),
         (F.col("_change_type") == "insert").cast("int").desc(),
     )
+    # persist the net effect: the changelog read (changed-file scan + one
+    # window shuffle) must run ONCE, not once for the counts and again
+    # inside the merge — on the hot sync loop that doubles delta cost
     net = (
         ch.withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") == 1)
@@ -136,32 +139,38 @@ def sync_replica(
             .otherwise(F.lit("delete"))
             .alias("_op"),
         )
-    )
-    counts = {r["_op"]: r["n"] for r in net.groupBy("_op").agg(F.count("*").alias("n")).collect()}
-    upserts, deletes = counts.get("upsert", 0), counts.get("delete", 0)
-    if not upserts and not deletes:
-        # maintenance-only range (replace snapshots): nothing to apply,
-        # just advance the stamp
-        _stamp_only(replica, cur.snapshot_id)
-        return {
-            "status": "restamped",
-            "from_snapshot": recorded,
-            "to_snapshot": cur.snapshot_id,
-            "upserts": 0,
-            "deletes": 0,
+    ).persist()
+    try:
+        counts = {
+            r["_op"]: r["n"]
+            for r in net.groupBy("_op").agg(F.count("*").alias("n")).collect()
         }
+        upserts, deletes = counts.get("upsert", 0), counts.get("delete", 0)
+        if not upserts and not deletes:
+            # maintenance-only range (replace snapshots): nothing to apply,
+            # just advance the stamp
+            _stamp_only(replica, cur.snapshot_id)
+            return {
+                "status": "restamped",
+                "from_snapshot": recorded,
+                "to_snapshot": cur.snapshot_id,
+                "upserts": 0,
+                "deletes": 0,
+            }
 
-    merge_into(
-        spark,
-        replica,
-        net,
-        key=key,
-        sys_tables=sys_tables,
-        table_name=replica_name,
-        strategy=strategy,
-        extra_summary={"replica-sync-from": recorded},
-        set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
-    )
+        merge_into(
+            spark,
+            replica,
+            net,
+            key=key,
+            sys_tables=sys_tables,
+            table_name=replica_name,
+            strategy=strategy,
+            extra_summary={"replica-sync-from": recorded},
+            set_properties={SOURCE_SNAPSHOT_PROP: cur.snapshot_id},
+        )
+    finally:
+        net.unpersist()
     return {
         "status": "synced",
         "from_snapshot": recorded,
@@ -230,37 +239,48 @@ def stream_replica(
         replica.refresh()
         if _epoch_committed(replica, sid, int(epoch_id)):
             return  # replayed batch after restart
-        if batch_df.isEmpty():
-            return
-        win = Window.partitionBy(key).orderBy(
-            F.col("_commit_snapshot_id").desc(),
-            F.col("_change_ordinal").desc(),
-            (F.col("_change_type") == "insert").cast("int").desc(),
-        )
-        net = (
-            batch_df.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .select(
-                *data_cols,
-                F.when(F.col("_change_type") == "insert", F.lit("upsert"))
-                .otherwise(F.lit("delete"))
-                .alias("_op"),
+        # pin the micro-batch: the changelog source plan (manifest diff +
+        # changed-file reads through the Python data source) is the
+        # expensive part, and three separate actions (empty-check, max-id,
+        # merge) would each re-execute it
+        batch_df = batch_df.persist()
+        try:
+            stats = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("_commit_snapshot_id").alias("hi"),
+            ).first()
+            if not stats["n"]:
+                return
+            win = Window.partitionBy(key).orderBy(
+                F.col("_commit_snapshot_id").desc(),
+                F.col("_change_ordinal").desc(),
+                (F.col("_change_type") == "insert").cast("int").desc(),
             )
-        )
-        hi = batch_df.agg(F.max("_commit_snapshot_id")).first()[0]
-        merge_into(
-            spark,
-            replica,
-            net,
-            key=key,
-            strategy=strategy,
-            table_name=replica_name,
-            extra_summary={"stream-id": sid, "stream-epoch": int(epoch_id)},
-            set_properties={
-                _max_epoch_prop(sid): int(epoch_id),
-                SOURCE_SNAPSHOT_PROP: int(hi),
-            },
-        )
+            net = (
+                batch_df.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    *data_cols,
+                    F.when(F.col("_change_type") == "insert", F.lit("upsert"))
+                    .otherwise(F.lit("delete"))
+                    .alias("_op"),
+                )
+            )
+            merge_into(
+                spark,
+                replica,
+                net,
+                key=key,
+                strategy=strategy,
+                table_name=replica_name,
+                extra_summary={"stream-id": sid, "stream-epoch": int(epoch_id)},
+                set_properties={
+                    _max_epoch_prop(sid): int(epoch_id),
+                    SOURCE_SNAPSHOT_PROP: int(stats["hi"]),
+                },
+            )
+        finally:
+            batch_df.unpersist()
         committed["n"] += 1
 
     q = (

@@ -80,7 +80,9 @@ from ..core.table import (
     DATA_DIR,
     PrunePredicate,
     Table,
+    diff_commit_entries,
     entry_matches,
+    group_dv_delta,
     prepare_predicates,
 )
 
@@ -423,6 +425,16 @@ class _TableStreamReader(DataSourceStreamReader):
         self.root = root
         self.changelog = options.get("streaming.mode", "append") == "changelog"
         if self.changelog:
+            meta_names = [f.name for f in CHANGELOG_META_FIELDS]
+            tail = [f.name for f in schema.fields[-len(CHANGELOG_META_FIELDS):]]
+            if len(schema.fields) <= len(CHANGELOG_META_FIELDS) or tail != meta_names:
+                # a user-supplied .schema(table_schema) would otherwise have
+                # its last three DATA columns silently treated as metadata
+                raise ValueError(
+                    "changelog stream schema must be the table schema followed "
+                    f"by the metadata columns {meta_names}; omit .schema(...) "
+                    "to let the source derive it"
+                )
             base = T.StructType(schema.fields[: -len(CHANGELOG_META_FIELDS)])
             self.base_arrow_schema = _to_arrow_schema(base)
         self.arrow_schema = _to_arrow_schema(schema)
@@ -500,38 +512,14 @@ class _TableStreamReader(DataSourceStreamReader):
             )
             pman = set(parent.manifests) if parent else set()
             cman = set(snap.manifests)
-            removed = {
-                en.path: en
-                for en in mf.read_manifests(
-                    table.metadata_dir, [m for m in (parent.manifests if parent else []) if m not in cman]
-                )
-            }
-            added = {
-                en.path: en
-                for en in mf.read_manifests(
-                    table.metadata_dir, [m for m in snap.manifests if m not in pman]
-                )
-            }
-            emit_of(
-                [en for p, en in added.items() if p not in removed],
-                "insert", ordinal, snap.snapshot_id,
+            inserts, deletes, changed = diff_commit_entries(
+                table.metadata_dir,
+                [m for m in (parent.manifests if parent else []) if m not in cman],
+                [m for m in snap.manifests if m not in pman],
             )
-            emit_of(
-                [en for p, en in removed.items() if p not in added],
-                "delete", ordinal, snap.snapshot_id,
-            )
-            grew: dict[frozenset, list[str]] = {}
-            shrank: dict[frozenset, list[str]] = {}
-            for p, ce in added.items():
-                pe = removed.get(p)
-                if pe is None:
-                    continue
-                pdv = {d["path"] for d in pe.deletes}
-                cdv = {d["path"] for d in ce.deletes}
-                if cdv - pdv:
-                    grew.setdefault(frozenset(cdv - pdv), []).append(p)
-                if pdv - cdv:
-                    shrank.setdefault(frozenset(pdv - cdv), []).append(p)
+            emit_of(inserts, "insert", ordinal, snap.snapshot_id)
+            emit_of(deletes, "delete", ordinal, snap.snapshot_id)
+            grew, shrank = group_dv_delta(changed)
             for dvs, paths in sorted(grew.items(), key=lambda kv: kv[1]):
                 emit_at(paths, sorted(dvs), "delete", ordinal, snap.snapshot_id)
             for dvs, paths in sorted(shrank.items(), key=lambda kv: kv[1]):
@@ -584,7 +572,10 @@ def _partition_values(pdf, spec_fields):
         if tr == "identity":
             out[f["name"]] = src
         elif tr == "year":
-            out[f["name"]] = pd.to_datetime(src).dt.year.astype("int64")
+            # nullable Int64: a null timestamp partitions as null (the
+            # __HIVE_DEFAULT_PARTITION__ convention), it must not crash the
+            # task or mint a literal "nan" partition value
+            out[f["name"]] = pd.to_datetime(src).dt.year.astype("Int64")
         elif tr == "month":
             out[f["name"]] = pd.to_datetime(src).dt.strftime("%Y-%m")
         elif tr == "day":
@@ -789,7 +780,18 @@ def _opt_int(options: dict, key: str) -> int | None:
 
 
 def _plain(v):
-    """numpy scalar → python scalar for manifest partition dicts."""
+    """numpy/pandas scalar → python scalar for manifest partition dicts;
+    every missing flavor (None/NaN/NaT/NA) normalizes to None so null
+    partition values take the __HIVE_DEFAULT_PARTITION__ path everywhere."""
+    if v is None:
+        return None
+    import pandas as pd
+
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
     return v.item() if hasattr(v, "item") else v
 
 
@@ -849,8 +851,29 @@ class LakehouseDataSource(DataSource):
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         table = self._table()
         _check_write_schema(schema, table.schema)
-        return _TableStreamWriter(
-            self._root(), table, self.options.get("stream-id", "default")
+        return _TableStreamWriter(self._root(), table, self._stream_id())
+
+    def _stream_id(self) -> str:
+        """The exactly-once epoch guard is keyed by stream-id: a replayed
+        batch of the SAME query must be skipped, a batch 0 of a DIFFERENT
+        query must commit. A shared default id would silently drop (and
+        unlink) every batch of a second query whose fresh checkpoint
+        restarts batch ids — so the id must be per-query: explicit
+        ``stream-id`` option, else derived from the checkpoint location
+        (stable across restarts of one query, distinct across queries)."""
+        sid = self.options.get("stream-id")
+        if sid:
+            return sid
+        ckpt = self.options.get("checkpointLocation")
+        if ckpt:
+            import hashlib
+
+            digest = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()
+            return f"ckpt-{digest[:16]}"
+        raise ValueError(
+            "lakehouse streaming sink needs .option('stream-id', ...) or a "
+            "checkpointLocation to key its exactly-once epoch guard; a "
+            "shared default would drop batches across distinct queries"
         )
 
 

@@ -241,6 +241,42 @@ def test_cli_auto_routes_small_appends_incremental(spark, warehouse, capsys):
     _assert_nonoverlapping(t)
 
 
+def test_duplicate_keys_never_straddle_outputs(spark, warehouse):
+    """Equal curve keys (duplicated (phash, w, h, image_id) rows) must not
+    be split across output files at the target-size row cuts: touching
+    _zkey bounds would make the NEXT pass misread its own outputs as a
+    foreign writer's overlap and full-rewrite forever."""
+    cat, t, st = _clustered_table(spark, warehouse)
+    e0 = max(t.live_entries(), key=lambda e: e.record_count)
+    delta_df = spark.read.parquet(os.path.join(t.root, e0.path)).select(
+        *[f.name for f in IMAGE_SCHEMA.fields]
+    )
+    # every key in e0's range now appears 3x -> the merge group spans
+    # multiple target-size outputs with equal-key runs at every cut
+    t.append(delta_df, num_files=1)
+    t.refresh().append(delta_df, num_files=1)
+    t = t.refresh()
+    expected = column_checksums(t.scan(spark))
+    res = execute_cluster_incremental(
+        spark, t, st, "ocel.images", curve="zorder", max_delta_frac=0.6
+    )
+    assert res["status"] == "committed" and res["mode"] == "incremental"
+    t = t.refresh()
+    assert column_checksums(t.scan(spark)) == expected
+    _assert_nonoverlapping(t)  # strict: touching bounds fail too
+    # the next pass still classifies against these outputs incrementally
+    e1 = max(t.live_entries(), key=lambda e: e.record_count)
+    d2 = (
+        spark.read.parquet(os.path.join(t.root, e1.path))
+        .select(*[f.name for f in IMAGE_SCHEMA.fields])
+        .limit(5)
+    )
+    t.append(d2, num_files=1)
+    t = t.refresh()
+    res2 = execute_cluster_incremental(spark, t, st, "ocel.images", curve="zorder")
+    assert res2["status"] == "committed" and res2["mode"] == "incremental"
+
+
 def test_second_pass_stays_incremental(spark, warehouse):
     """The invariant survives passes: outputs of pass 1 are base files for
     pass 2, and pass 2 still leaves distant files untouched."""

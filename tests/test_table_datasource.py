@@ -281,6 +281,85 @@ def test_stream_write_exactly_once(registered, tmp_path):
     assert int(t.properties["stream.dsw.max-epoch"]) >= 1
 
 
+def test_batch_write_null_partition_values(registered, tmp_path):
+    """A null partition-source value must neither crash the write task
+    (year transform on NaT) nor mint a literal 'nan' partition — it takes
+    the same __HIVE_DEFAULT_PARTITION__ path as the native writer."""
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    from ocel_ocpn_lakehouse_spark.core.spec import PartitionField
+
+    spec = TableSpec(
+        partition_spec=PartitionSpec((PartitionField("ts", "year", "y"),))
+    )
+    t = cat.create_table("ns.wnull", SCHEMA, spec)
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.when(F.col("id") < 5, F.lit(None).cast("timestamp"))
+        .otherwise(F.timestamp_seconds(F.lit(1700000000)))
+        .alias("ts"),
+    )
+    df.coalesce(1).write.format("lakehouse").mode("append").save(t.root)
+    t.refresh()
+    assert t.scan(spark).count() == 20
+    parts = {e.partition.get("_p_y") for e in t.live_entries()}
+    assert None in parts and 2023 in parts and "nan" not in parts
+    assert any("__HIVE_DEFAULT_PARTITION__" in e.path for e in t.live_entries())
+    assert t.scan(spark).filter(F.col("ts").isNull()).count() == 5
+
+
+def test_stream_write_distinct_checkpoints_distinct_guards(registered, tmp_path):
+    """Two unrelated streaming queries into one table, neither passing a
+    stream-id: their exactly-once epoch guards must not collide. A shared
+    default id would see query 2's batch 0 as 'already committed' and
+    silently unlink its files — the guard id derives from the checkpoint
+    location instead."""
+    spark = registered
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns.wsid", SCHEMA)
+    src = tmp_path / "siddrop"
+    src.mkdir()
+    spark.range(0, 10).select(
+        F.col("id"), F.lit("s").alias("v"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    ).write.parquet(str(src / "b1"))
+
+    def drain(ck):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(src / "*"))
+            .writeStream.format("lakehouse")
+            .option("path", t.root)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ck1")  # query 1 commits its batch 0
+    t.refresh()
+    assert t.scan(spark).count() == 10
+    drain("ck2")  # fresh checkpoint restarts batch ids at 0 — must commit
+    t.refresh()
+    assert t.scan(spark).count() == 20
+    drain("ck1")  # replay of query 1 with nothing new -> no change
+    t.refresh()
+    assert t.scan(spark).count() == 20
+
+
+def test_changelog_stream_rejects_data_only_schema(registered, tmp_path):
+    """A user-supplied .schema(table_schema) on a changelog stream must be
+    rejected loudly — slicing the metadata tail off it would silently
+    treat the last three DATA columns as metadata."""
+    from ocel_ocpn_lakehouse_spark.sources.table_source import _TableStreamReader
+
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.cdcschema", rows=10, files=1)
+    with pytest.raises(ValueError, match="metadata columns"):
+        _TableStreamReader(t.root, SCHEMA, {"streaming.mode": "changelog"})
+
+
 def test_write_schema_mismatch_rejected(registered, tmp_path):
     spark = registered
     cat = Catalog(str(tmp_path / "wh"))
