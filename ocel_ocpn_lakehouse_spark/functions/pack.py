@@ -30,6 +30,7 @@ def assign_shards(
     budget: int = 4096,
     order_col: str = "doc_id",
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``shard`` = floor(tokens-before-this-doc / budget) in order_col
     order: contiguous docs pack into the same shard until the budget
@@ -38,41 +39,65 @@ def assign_shards(
     the first s shards together hold [s*budget, s*budget + max_doc_tokens)
     tokens — each boundary tracks the budget to within one document — and
     when every doc is smaller than the budget, shard ids are dense.
-    ``order_col`` must be a unique key (the shard map joins back on it)."""
+    ``order_col`` must be a unique key (the shard map joins back on it).
+
+    With ``group_cols`` the cumsum RESTARTS per group — every group packs
+    its own shard sequence from 0 independently (aspect-ratio buckets for
+    image batches, domains for mixture-controlled corpora). The range
+    partitioning keys on (group_cols..., order_col), so each group spans a
+    contiguous run of partition ids and the same two-phase offset trick
+    applies per (partition, group) cell. Driver state is
+    O(#partitions + #groups) offset rows — groups are meant to be coarse
+    (dozens of aspect buckets, hundreds of domains), NOT a high-cardinality
+    key; shard counts within a group stay dense because the group's cells
+    prefix-sum in ascending-pid order. Group columns must be non-null (the
+    shard map equi-joins on them)."""
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    # the cumsum runs over a NARROW (order, tokens) projection and the
-    # resulting shard map joins back onto the corpus: a training-export
+    gcols = list(group_cols or [])
+    # the cumsum runs over a NARROW (group, order, tokens) projection and
+    # the resulting shard map joins back onto the corpus: a training-export
     # corpus carries multi-KB payload columns, and materializing those to
     # executor storage (the checkpoint below) or dragging them through the
     # cumsum stages would dominate the job for no reason.
-    narrow = docs.select(F.col(order_col), F.col(token_col))
+    narrow = docs.select(*[F.col(c) for c in gcols], F.col(order_col), F.col(token_col))
     # materialize ONE range partitioning before anything reads it: the
     # offsets aggregate and the final window are separate jobs, and
     # RangePartitioner re-samples per execution (seed derives from the RDD
     # id) — without the checkpoint the two jobs could pick different
     # boundaries and the offsets would correct the wrong partitions
+    range_keys = [F.col(c) for c in gcols] + [F.col(order_col)]
     p = (
-        narrow.repartitionByRange(n_part, F.col(order_col))
+        narrow.repartitionByRange(n_part, *range_keys)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = {
-        r["_pid"]: int(r["_tot"])
-        for r in p.groupBy("_pid")
+    cell_rows = (
+        p.groupBy("_pid", *gcols)
         .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("_tot"))
         .collect()
-    }
-    offsets, run = [], 0
-    for pid in range(max(totals, default=-1) + 1):
-        offsets.append((pid, run))
-        run += totals.get(pid, 0)
-    off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # prefix-sum each group's cells in ascending-pid order; the ungrouped
+    # call is the single-group special case of the same loop
+    by_group: dict = {}
+    for r in cell_rows:
+        gkey = tuple(r[c] for c in gcols)
+        by_group.setdefault(gkey, []).append((r["_pid"], int(r["_tot"])))
+    offsets = []
+    for gkey, cells in by_group.items():
+        run = 0
+        for pid, tot in sorted(cells):
+            offsets.append((pid, *gkey, run))
+            run += tot
+    off_schema = ", ".join(
+        ["_pid int"]
+        + [f"{c} {t}" for c, t in narrow.select(*gcols).dtypes]
+        + ["_offset long"]
+    )
+    off = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    w = Window.partitionBy("_pid", *gcols).orderBy(order_col)
     shard_map = (
-        p.join(off, "_pid")
+        p.join(off, ["_pid", *gcols])
         .withColumn(
             "_before",
             F.col("_offset") + F.sum(token_col).over(w) - F.col(token_col),

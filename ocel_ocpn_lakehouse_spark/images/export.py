@@ -1,0 +1,238 @@
+"""Training export: aspect-ratio bucketing and WebDataset-style tar shards.
+
+The reference stores image+caption rows in Iceberg and stops there; the
+step a 10^12-image table exists FOR — serving resolution-bucketed,
+deterministically-sharded training batches — has no counterpart in it
+(closest: the raw image schema, schemas/ and ingest/ loaders). This module
+is that export surface, Spark-first:
+
+  assign_aspect_buckets   pure column expressions, zero shuffle: each row
+                          picks the bucket whose log-aspect is nearest
+                          (`array_min` over an array<struct<dist,idx>> —
+                          struct ordering IS the argmin, no UDF).
+  pack_training_batches   per-bucket contiguous batch packing via the
+                          grouped two-phase distributed cumsum in
+                          functions/pack.py — batches never mix buckets,
+                          every batch except a bucket's last is exactly
+                          batch_size rows, and the assignment is a pure
+                          function of (order_col, bucket) independent of
+                          input layout.
+  export_webdataset       one tar per shard via applyInPandas: members are
+                          `{key}.{ext}` in key order with zeroed tar
+                          metadata, so a shard's bytes — and its manifest
+                          sha256 — are bit-reproducible across runs and
+                          layouts. The driver only ever sees the manifest
+                          (one row per shard).
+
+Scale notes (the 100 TB question): bucketing is embarrassingly parallel;
+packing is the audited q51 cumsum shape (narrow projection, O(#partitions
++ #buckets) driver state); export shuffles once on the shard key and then
+streams each group to its tar — parallelism = #shards (a 10^12-image
+corpus at ~10k images/shard is ~10^8 tasks; raise images-per-shard /
+bytes-per-shard so one shard ~ 0.5-1 GiB, the WebDataset convention, and
+the group fits executor memory comfortably). ``out_dir`` must be a
+filesystem every executor can write (POSIX path to shared storage; the
+task writes to a temp name and renames, so a retried task never publishes
+a torn tar).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import math
+import os
+import tarfile
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.pack import assign_shards
+
+# (w, h) ladder with pairwise-distinct aspect ratios — square, 3:2, 2:3,
+# 2:1, 1:2, 4:3, 3:4. Distinct aspects are REQUIRED: the argmin metric is
+# |Δ log-aspect|, and duplicate aspects would make the winner an FP
+# coin-flip instead of the documented lowest-index tie-break.
+DEFAULT_BUCKETS: list[tuple[int, int]] = [
+    (64, 64),
+    (96, 64),
+    (64, 96),
+    (128, 64),
+    (64, 128),
+    (128, 96),
+    (96, 128),
+]
+
+
+def assign_aspect_buckets(
+    df: DataFrame,
+    buckets: Iterable[tuple[int, int]] = DEFAULT_BUCKETS,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Add ``bucket_id``/``bucket_w``/``bucket_h``: the bucket minimizing
+    |ln(w/h) − ln(bw/bh)|, ties to the lowest bucket_id. One expression
+    tree per row — no shuffle, no UDF, survives any scale untouched.
+
+    The ladder must carry pairwise-distinct aspect ratios (checked): with
+    distinct aspects the nearest-log-aspect winner is FP-stable across
+    engines, which is what lets the DuckDB oracle replay the assignment
+    bit-for-bit (exact log-midpoint ties between DISTINCT rational aspects
+    are impossible — the midpoint is irrational).
+    """
+    bl = [(int(bw), int(bh)) for bw, bh in buckets]
+    if not bl:
+        raise ValueError("empty bucket ladder")
+    aspects: dict[int, tuple[int, int]] = {}
+    for i, (bw, bh) in enumerate(bl):
+        for j, (ow, oh) in aspects.items():
+            if bw * oh == ow * bh:
+                raise ValueError(
+                    f"buckets {j} and {i} share aspect ratio {ow}:{oh} — "
+                    "the nearest-aspect argmin needs distinct aspects"
+                )
+        aspects[i] = (bw, bh)
+    la = F.log(F.col(w_col).cast("double") / F.col(h_col).cast("double"))
+    candidates = F.array(
+        *[
+            F.struct(
+                F.abs(la - F.lit(math.log(bw / bh))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(bl)
+        ]
+    )
+    best = F.array_min(candidates)  # struct compare: min dist, then min idx
+    wmap = F.array(*[F.lit(bw) for bw, _ in bl])
+    hmap = F.array(*[F.lit(bh) for _, bh in bl])
+    return (
+        df.withColumn("bucket_id", best["i"])
+        .withColumn("bucket_w", F.element_at(wmap, F.col("bucket_id") + 1))
+        .withColumn("bucket_h", F.element_at(hmap, F.col("bucket_id") + 1))
+    )
+
+
+def pack_training_batches(
+    df: DataFrame,
+    batch_size: int = 64,
+    bucket_col: str = "bucket_id",
+    order_col: str = "image_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``shard``: within each bucket, rows in order_col order pack into
+    consecutive batches of exactly ``batch_size`` (the bucket's final batch
+    may run short). Same-bucket-only batches are the aspect-bucketing
+    contract — a training step resizes its whole batch to one target
+    resolution. Built on the grouped distributed cumsum with unit weights,
+    so no bucket ever serializes into a single window task."""
+    unit = "_unit_weight"
+    packed = assign_shards(
+        df.withColumn(unit, F.lit(1)),
+        token_col=unit,
+        budget=int(batch_size),
+        order_col=order_col,
+        num_partitions=num_partitions,
+        group_cols=[bucket_col],
+    )
+    return packed.drop(unit)
+
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_name", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+
+def _member_bytes(value) -> bytes:
+    if value is None:
+        return b""
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return json.dumps(value, sort_keys=True, default=str).encode("utf-8")
+
+
+def export_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    members: list[tuple[str, str]],
+    key_col: str = "image_id",
+    shard_cols: list[str] = ("bucket_id", "shard"),
+) -> DataFrame:
+    """Write one WebDataset-style tar per distinct ``shard_cols`` value and
+    return the manifest DataFrame (shard_name, path, n_items, n_bytes,
+    sha256). ``members`` maps columns to tar entries per row: ``(col,
+    "txt")`` writes ``{key}.txt`` from ``col``; an extension of ``"@fmt"``
+    reads the per-row extension from column ``fmt`` (how image bytes pick
+    .png/.jpg by their codec). Bytes columns write raw, strings UTF-8,
+    anything else canonical JSON.
+
+    Determinism contract: members sort by key within the tar; tar metadata
+    (mtime/uid/gid/mode/uname) is zeroed; the shard name is a pure function
+    of the shard key. Re-running over any repartitioning of the same rows
+    reproduces byte-identical tars — the manifest sha256 is the regression
+    oracle. Tasks write `.tmp-{uuid}` then rename, so a speculative or
+    retried task never publishes a torn file; both attempts rename the SAME
+    final bytes, so last-rename-wins is benign.
+    """
+    shard_cols = list(shard_cols)
+    os.makedirs(out_dir, exist_ok=True)
+    ext_cols = sorted({e[1:] for _, e in members if e.startswith("@")})
+    data_cols = [c for c, _ in members]
+    needed = list(dict.fromkeys([*shard_cols, key_col, *data_cols, *ext_cols]))
+    mem_spec = list(members)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        name = "-".join(
+            f"{c}{int(pdf.iloc[0][c]):05d}" for c in shard_cols
+        )
+        shard_name = f"shard-{name}.tar"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                for col, ext in mem_spec:
+                    actual_ext = str(row[ext[1:]]) if ext.startswith("@") else ext
+                    payload = _member_bytes(row[col])
+                    info = tarfile.TarInfo(name=f"{key}.{actual_ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(payload))
+        blob = buf.getvalue()
+        path = os.path.join(out_dir, shard_name)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_name": shard_name,
+                    "path": path,
+                    "n_items": len(pdf),
+                    "n_bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            ]
+        )
+
+    return (
+        df.select(*needed)
+        .groupBy(*shard_cols)
+        .applyInPandas(write_shard, schema=_MANIFEST_SCHEMA)
+    )

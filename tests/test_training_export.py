@@ -1,0 +1,157 @@
+"""Training-export surface: grouped shard packing, aspect bucketing,
+WebDataset tar export (images/export.py, functions/pack.py group_cols)."""
+
+import hashlib
+import math
+import tarfile
+
+import pytest
+
+from ocel_ocpn_lakehouse_spark.functions.pack import assign_shards
+from ocel_ocpn_lakehouse_spark.images.export import (
+    DEFAULT_BUCKETS,
+    assign_aspect_buckets,
+    export_webdataset,
+    pack_training_batches,
+)
+from ocel_ocpn_lakehouse_spark.images.synth import synth_images_df
+
+
+def _rows(seed: int, n: int):
+    """Deterministic (id, group, tokens) rows with ragged group sizes."""
+    rows = []
+    x = seed
+    for i in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        rows.append((i, (x >> 5) % 4, 1 + (x >> 13) % 50))
+    return rows
+
+
+def test_grouped_assign_shards_matches_per_group_cumsum(spark):
+    rows = _rows(7, 400)
+    df = spark.createDataFrame(rows, "doc_id long, grp int, n_tokens long")
+    got = {
+        (r["doc_id"]): (r["grp"], r["shard"])
+        for r in assign_shards(
+            df, budget=100, group_cols=["grp"], num_partitions=7
+        ).collect()
+    }
+    # oracle: python per-group running sum in doc_id order
+    expect = {}
+    run = {}
+    for doc_id, grp, tok in sorted(rows):
+        before = run.get(grp, 0)
+        expect[doc_id] = (grp, before // 100)
+        run[grp] = before + tok
+    assert got == expect
+
+
+def test_grouped_assign_shards_layout_invariant(spark):
+    rows = _rows(11, 300)
+    df = spark.createDataFrame(rows, "doc_id long, grp int, n_tokens long")
+    a = assign_shards(df, budget=64, group_cols=["grp"], num_partitions=3)
+    b = assign_shards(
+        df.repartition(13, "n_tokens"), budget=64, group_cols=["grp"], num_partitions=9
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ungrouped_assign_shards_unchanged(spark):
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = dict(
+        (r["doc_id"], r["shard"])
+        for r in assign_shards(df, budget=25, num_partitions=4).collect()
+    )
+    assert got == {i: (i * 10) // 25 for i in range(100)}
+
+
+def test_aspect_buckets_match_python_argmin(spark):
+    dims = [(w, h) for w in (16, 24, 32, 48, 64, 96, 128, 200) for h in (16, 24, 32, 48, 64, 96, 128, 200)]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, (w, h) in enumerate(dims)], "id int, w int, h int"
+    )
+    out = {
+        r["id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
+        for r in assign_aspect_buckets(df).collect()
+    }
+    for i, (w, h) in enumerate(dims):
+        best = min(
+            range(len(DEFAULT_BUCKETS)),
+            key=lambda j: (
+                abs(math.log(w / h) - math.log(DEFAULT_BUCKETS[j][0] / DEFAULT_BUCKETS[j][1])),
+                j,
+            ),
+        )
+        assert out[i] == (best, *DEFAULT_BUCKETS[best]), (w, h)
+
+
+def test_aspect_buckets_reject_duplicate_aspects(spark):
+    df = spark.createDataFrame([(1, 2, 2)], "id int, w int, h int")
+    with pytest.raises(ValueError, match="share aspect ratio"):
+        assign_aspect_buckets(df, buckets=[(64, 32), (128, 64)])
+
+
+def test_pack_training_batches_exact_sizes(spark):
+    df = assign_aspect_buckets(
+        synth_images_df(spark, n_rows=300, seed=3, parallelism=6)
+    )
+    packed = pack_training_batches(df, batch_size=16, num_partitions=5)
+    sizes = (
+        packed.groupBy("bucket_id", "shard").count().collect()
+    )
+    per_bucket = {}
+    for r in sizes:
+        per_bucket.setdefault(r["bucket_id"], {})[r["shard"]] = r["count"]
+    assert per_bucket, "no batches produced"
+    for b, shards in per_bucket.items():
+        assert set(shards) == set(range(len(shards))), "shard ids not dense"
+        for s, n in shards.items():
+            if s < len(shards) - 1:
+                assert n == 16, (b, s, n)
+            else:
+                assert 1 <= n <= 16
+    # batches never mix buckets and cover every row exactly once
+    assert packed.count() == 300
+    assert sum(sum(s.values()) for s in per_bucket.values()) == 300
+
+
+def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    imgs = assign_aspect_buckets(
+        synth_images_df(spark, n_rows=60, seed=9, parallelism=4)
+    )
+    packed = pack_training_batches(imgs, batch_size=8, order_col="image_id")
+    out1 = tmp_path / "wds1"
+    members = [("bytes", "@fmt"), ("caption", "txt")]
+    m1 = export_webdataset(packed, str(out1), members).collect()
+    assert sum(r["n_items"] for r in m1) == 60
+    # round-trip one shard: members sorted by key, payloads byte-equal
+    src = {
+        r["image_id"]: (bytes(r["bytes"]), r["fmt"], r["caption"])
+        for r in packed.collect()
+    }
+    checked = 0
+    for r in m1:
+        with tarfile.open(r["path"]) as tf:
+            names = tf.getnames()
+            assert names == sorted(names)
+            for nm in names:
+                key, ext = nm.rsplit(".", 1)
+                blob = tf.extractfile(nm).read()
+                raw, fmt, caption = src[key]
+                if ext == "txt":
+                    assert blob.decode() == caption
+                else:
+                    assert ext == fmt and blob == raw
+                checked += 1
+        with open(r["path"], "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == r["sha256"]
+    assert checked == 2 * 60
+    # determinism: different layout, different output dir -> same hashes
+    out2 = tmp_path / "wds2"
+    m2 = export_webdataset(
+        packed.repartition(11, "phash"), str(out2), members
+    ).collect()
+    h1 = {r["shard_name"]: r["sha256"] for r in m1}
+    h2 = {r["shard_name"]: r["sha256"] for r in m2}
+    assert h1 == h2
