@@ -153,6 +153,18 @@ _MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _shard_name_col(shard_cols: list[str]):
+    """``shard-{col}{value:05d}-...tar`` as a column expression — the SAME
+    name the tar writer stamps, so resume logic can anti-join on it.
+    format_string('%05d') matches python's ``{v:05d}`` exactly (pads, never
+    truncates — unlike lpad)."""
+    parts = [
+        F.concat(F.lit(c), F.format_string("%05d", F.col(c).cast("long")))
+        for c in shard_cols
+    ]
+    return F.concat(F.lit("shard-"), F.concat_ws("-", *parts), F.lit(".tar"))
+
+
 def _member_bytes(value) -> bytes:
     if value is None:
         return b""
@@ -195,10 +207,7 @@ def export_webdataset(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col, kind="mergesort")
-        name = "-".join(
-            f"{c}{int(pdf.iloc[0][c]):05d}" for c in shard_cols
-        )
-        shard_name = f"shard-{name}.tar"
+        shard_name = str(pdf.iloc[0]["_shard_name"])
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
             for _, row in pdf.iterrows():
@@ -233,6 +242,98 @@ def export_webdataset(
 
     return (
         df.select(*needed)
-        .groupBy(*shard_cols)
+        .withColumn("_shard_name", _shard_name_col(shard_cols))
+        .groupBy("_shard_name")
         .applyInPandas(write_shard, schema=_MANIFEST_SCHEMA)
     )
+
+
+def export_webdataset_job(
+    spark,
+    cat,
+    table_name: str,
+    out_dir: str,
+    *,
+    key_col: str = "image_id",
+    batch_size: int = 64,
+    buckets: Iterable[tuple[int, int]] = DEFAULT_BUCKETS,
+    members: Iterable[tuple[str, str]] = (("bytes", "@fmt"), ("caption", "txt")),
+    manifest_table: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Resumable training export of an engine table: aspect-bucket → pack →
+    tar shards, with the shard manifest COMMITTED as an engine table
+    (``<table>_export``) stamped with the source snapshot id.
+
+    Exactly-once without a transaction across the tar store and the
+    catalog: shard assignment is a pure function of (snapshot, key order,
+    ladder, batch_size), and each tar's bytes are deterministic, so
+    re-exporting a shard is idempotent (write-then-rename republishes the
+    identical file). Resume therefore only needs the manifest: shards
+    already recorded for THIS source snapshot are skipped (anti-join on
+    shard_name); a crash after tars landed but before the manifest commit
+    re-exports exactly the unrecorded shards byte-identically. If the
+    source snapshot moved since the last export, shard contents may have
+    shifted wholesale, so the job starts over (full re-export, manifest
+    overwritten under the new stamp) — the stamp rides in the SAME commit
+    as the manifest rows, so no crash can publish rows under a stale stamp.
+
+    Returns {exported, skipped, items, bytes, manifest_table, snapshot_id}.
+    """
+    from ..core.spec import TableSpec
+
+    t = cat.load_table(table_name)
+    snap = t.current_snapshot()
+    if snap is None:
+        raise ValueError(f"{table_name} has no snapshot to export")
+    src_id = int(snap.snapshot_id)
+    mt_name = manifest_table or f"{table_name}_export"
+    stamp_key = "export-source-snapshot-id"
+
+    done: set[str] = set()
+    fresh_manifest = True
+    if cat.table_exists(mt_name):
+        mt = cat.load_table(mt_name)
+        if mt.properties.get(stamp_key) == str(src_id):
+            fresh_manifest = False
+            done = {
+                r["shard_name"]
+                for r in mt.scan(spark, columns=["shard_name"]).collect()
+            }
+
+    packed = pack_training_batches(
+        assign_aspect_buckets(t.scan(spark), buckets=buckets),
+        batch_size=batch_size,
+        order_col=key_col,
+        num_partitions=num_partitions,
+    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"]))
+    if done:
+        names = spark.createDataFrame(
+            [(n,) for n in sorted(done)], "_shard_name string"
+        )
+        packed = packed.join(F.broadcast(names), "_shard_name", "left_anti")
+
+    manifest = export_webdataset(
+        packed.drop("_shard_name"), out_dir, list(members), key_col=key_col
+    )
+    rows = manifest.collect()
+
+    if not cat.table_exists(mt_name):
+        cat.create_table(mt_name, _MANIFEST_SCHEMA, TableSpec())
+    mt = cat.load_table(mt_name)
+    new_rows = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    if fresh_manifest:
+        # always overwrite on a stamp change — an empty export must still
+        # retire a stale manifest, not leave it published under a new head
+        mt.overwrite(new_rows, set_properties={stamp_key: src_id})
+    elif rows:
+        entries = mt.write_data_files(new_rows)
+        mt.commit_append(entries, set_properties={stamp_key: src_id})
+    return {
+        "exported": len(rows),
+        "skipped": len(done),
+        "items": int(sum(r["n_items"] for r in rows)),
+        "bytes": int(sum(r["n_bytes"] for r in rows)),
+        "manifest_table": mt_name,
+        "snapshot_id": src_id,
+    }

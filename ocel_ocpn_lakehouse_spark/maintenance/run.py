@@ -30,8 +30,16 @@ def main(argv=None) -> int:
             "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
             "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
             "auto", "image-dedup", "branch", "publish", "replicate",
-            "rewrite-deletes",
+            "rewrite-deletes", "export",
         ],
+    )
+    ap.add_argument(
+        "--export-dir", default=None,
+        help="--op export: directory for WebDataset tar shards",
+    )
+    ap.add_argument(
+        "--batch-size", type=int, default=64,
+        help="--op export: images per same-aspect-bucket batch/shard",
     )
     ap.add_argument(
         "--replica", default=None,
@@ -372,6 +380,16 @@ def main(argv=None) -> int:
                     spark, t.refresh(), cat, args.replica, sys_tables=sys_tables
                 ),
                 t, retries=args.retries,
+            )
+
+        if args.op == "export":
+            if not args.export_dir:
+                raise SystemExit("--op export requires --export-dir <path>")
+            from ..images.export import export_webdataset_job
+
+            rep["export"] = export_webdataset_job(
+                spark, cat, table_name, args.export_dir,
+                batch_size=args.batch_size,
             )
 
         if args.op == "rollback":

@@ -155,3 +155,66 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
     h1 = {r["shard_name"]: r["sha256"] for r in m1}
     h2 = {r["shard_name"]: r["sha256"] for r in m2}
     assert h1 == h2
+
+
+def test_export_job_resume_restamp_and_cli(spark, tmp_path, capsys):
+    import json
+
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.export import (
+        _MANIFEST_SCHEMA,
+        export_webdataset_job,
+    )
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA
+    from ocel_ocpn_lakehouse_spark.maintenance.run import main as cli_main
+
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "out")
+    cat = Catalog(wh)
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    t.append(synth_images_df(spark, 80, seed=2), num_files=4)
+
+    r1 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert r1["skipped"] == 0 and r1["items"] == 80 and r1["exported"] > 0
+    mt = cat.load_table(r1["manifest_table"])
+    full = {r["shard_name"]: r["sha256"] for r in mt.scan(spark).collect()}
+    assert len(full) == r1["exported"]
+
+    # same snapshot, same manifest -> pure no-op resume
+    r2 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert r2["exported"] == 0 and r2["skipped"] == r1["exported"]
+
+    # crash sim: manifest only recorded half the shards (tars all on disk)
+    rows = mt.scan(spark).collect()
+    half = rows[: len(rows) // 2]
+    mt.overwrite(
+        spark.createDataFrame(half, _MANIFEST_SCHEMA),
+        set_properties={"export-source-snapshot-id": r1["snapshot_id"]},
+    )
+    r3 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert r3["skipped"] == len(half)
+    assert r3["exported"] == len(rows) - len(half)
+    after = {
+        r["shard_name"]: r["sha256"]
+        for r in cat.load_table(r1["manifest_table"]).refresh().scan(spark).collect()
+    }
+    assert after == full  # re-exported shards byte-identical to originals
+
+    # source moved -> stamp mismatch -> full re-export under the new stamp
+    t.refresh().append(synth_images_df(spark, 24, seed=77).selectExpr(
+        "concat('x_', image_id) AS image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ), num_files=2)
+    r4 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert r4["skipped"] == 0 and r4["items"] == 104
+    mt2 = cat.load_table(r1["manifest_table"]).refresh()
+    assert mt2.properties["export-source-snapshot-id"] == str(r4["snapshot_id"])
+    assert sum(r["n_items"] for r in mt2.scan(spark).collect()) == 104
+
+    # CLI surface: resume through --op export reports a no-op
+    rc = cli_main([
+        "--warehouse", wh, "--table", "ocel.images", "--op", "export",
+        "--export-dir", out, "--batch-size", "8",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["export"]["exported"] == 0
+    assert rep["export"]["skipped"] == r4["exported"]
