@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     # timings — its wall time says nothing about the scale path. Its oracle
     # still runs in the driver's correctness gate.
     "q40_embedding_neardup_lsh",  # the banded-LSH scale path over the embeddings
+    "q54_training_batches",  # aspect bucketing + grouped distributed cumsum
 ]
 
 

@@ -82,6 +82,15 @@ def assign_shards(
     by_group: dict = {}
     for r in cell_rows:
         gkey = tuple(r[c] for c in gcols)
+        if any(v is None for v in gkey):
+            # a null group key would silently vanish in the equi-joins
+            # below (null never matches null) — rows would drop from the
+            # output with no error. Fail loudly instead; the cells are
+            # already on the driver so this check is free.
+            raise ValueError(
+                f"null group key {dict(zip(gcols, gkey))} in assign_shards "
+                "group_cols — group columns must be non-null"
+            )
         by_group.setdefault(gkey, []).append((r["_pid"], int(r["_tot"])))
     offsets = []
     for gkey, cells in by_group.items():

@@ -153,16 +153,38 @@ _MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def _shard_name_col(shard_cols: list[str]):
-    """``shard-{col}{value:05d}-...tar`` as a column expression — the SAME
-    name the tar writer stamps, so resume logic can anti-join on it.
-    format_string('%05d') matches python's ``{v:05d}`` exactly (pads, never
-    truncates — unlike lpad)."""
+def _shard_name_col(shard_cols: list[str], prefix: str = ""):
+    """``{prefix}shard-{col}{value:05d}-...tar`` as a column expression —
+    the ONE place shard names come from (the tar writer reads the computed
+    column, so writer and resume logic cannot drift). format_string('%05d')
+    matches python's ``{v:05d}`` exactly (pads, never truncates — unlike
+    lpad)."""
     parts = [
         F.concat(F.lit(c), F.format_string("%05d", F.col(c).cast("long")))
         for c in shard_cols
     ]
-    return F.concat(F.lit("shard-"), F.concat_ws("-", *parts), F.lit(".tar"))
+    return F.concat(
+        F.lit(f"{prefix}shard-"), F.concat_ws("-", *parts), F.lit(".tar")
+    )
+
+
+class _HashingFile:
+    """Write-through file wrapper: sha256 + byte count while streaming, so
+    the tar never sits whole in memory (peak = one member's payload)."""
+
+    def __init__(self, f):
+        self._f = f
+        self.sha = hashlib.sha256()
+        self.n = 0
+
+    def write(self, b):
+        self._f.write(b)
+        self.sha.update(b)
+        self.n += len(b)
+        return len(b)
+
+    def tell(self):
+        return self.n
 
 
 def _member_bytes(value) -> bytes:
@@ -181,6 +203,7 @@ def export_webdataset(
     members: list[tuple[str, str]],
     key_col: str = "image_id",
     shard_cols: list[str] = ("bucket_id", "shard"),
+    name_prefix: str = "",
 ) -> DataFrame:
     """Write one WebDataset-style tar per distinct ``shard_cols`` value and
     return the manifest DataFrame (shard_name, path, n_items, n_bytes,
@@ -188,45 +211,47 @@ def export_webdataset(
     "txt")`` writes ``{key}.txt`` from ``col``; an extension of ``"@fmt"``
     reads the per-row extension from column ``fmt`` (how image bytes pick
     .png/.jpg by their codec). Bytes columns write raw, strings UTF-8,
-    anything else canonical JSON.
+    anything else canonical JSON. A precomputed ``_shard_name`` column, if
+    present, wins over (shard_cols, name_prefix) — callers that filter on
+    shard names (resume) compute the name once and pass it through.
 
     Determinism contract: members sort by key within the tar; tar metadata
     (mtime/uid/gid/mode/uname) is zeroed; the shard name is a pure function
     of the shard key. Re-running over any repartitioning of the same rows
     reproduces byte-identical tars — the manifest sha256 is the regression
-    oracle. Tasks write `.tmp-{uuid}` then rename, so a speculative or
-    retried task never publishes a torn file; both attempts rename the SAME
-    final bytes, so last-rename-wins is benign.
+    oracle. Tasks STREAM the tar to `.tmp-{uuid}` (hashing as they write —
+    peak task memory is the pandas group plus one member, not 3x the shard)
+    then rename, so a speculative or retried task never publishes a torn
+    file; both attempts rename the SAME final bytes, so last-rename-wins is
+    benign.
     """
     shard_cols = list(shard_cols)
     os.makedirs(out_dir, exist_ok=True)
     ext_cols = sorted({e[1:] for _, e in members if e.startswith("@")})
     data_cols = [c for c, _ in members]
-    needed = list(dict.fromkeys([*shard_cols, key_col, *data_cols, *ext_cols]))
+    needed = list(dict.fromkeys([key_col, *data_cols, *ext_cols]))
     mem_spec = list(members)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col, kind="mergesort")
         shard_name = str(pdf.iloc[0]["_shard_name"])
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            for _, row in pdf.iterrows():
-                key = str(row[key_col])
-                for col, ext in mem_spec:
-                    actual_ext = str(row[ext[1:]]) if ext.startswith("@") else ext
-                    payload = _member_bytes(row[col])
-                    info = tarfile.TarInfo(name=f"{key}.{actual_ext}")
-                    info.size = len(payload)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    info.mode = 0o644
-                    tf.addfile(info, io.BytesIO(payload))
-        blob = buf.getvalue()
         path = os.path.join(out_dir, shard_name)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
+        with open(tmp, "wb") as raw:
+            hf = _HashingFile(raw)
+            with tarfile.open(fileobj=hf, mode="w|") as tf:
+                for _, row in pdf.iterrows():
+                    key = str(row[key_col])
+                    for col, ext in mem_spec:
+                        actual_ext = str(row[ext[1:]]) if ext.startswith("@") else ext
+                        payload = _member_bytes(row[col])
+                        info = tarfile.TarInfo(name=f"{key}.{actual_ext}")
+                        info.size = len(payload)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        tf.addfile(info, io.BytesIO(payload))
         os.replace(tmp, path)
         return pd.DataFrame(
             [
@@ -234,15 +259,19 @@ def export_webdataset(
                     "shard_name": shard_name,
                     "path": path,
                     "n_items": len(pdf),
-                    "n_bytes": len(blob),
-                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "n_bytes": hf.n,
+                    "sha256": hf.sha.hexdigest(),
                 }
             ]
         )
 
+    named = (
+        df
+        if "_shard_name" in df.columns
+        else df.withColumn("_shard_name", _shard_name_col(shard_cols, name_prefix))
+    )
     return (
-        df.select(*needed)
-        .withColumn("_shard_name", _shard_name_col(shard_cols))
+        named.select("_shard_name", *needed)
         .groupBy("_shard_name")
         .applyInPandas(write_shard, schema=_MANIFEST_SCHEMA)
     )
@@ -260,41 +289,70 @@ def export_webdataset_job(
     members: Iterable[tuple[str, str]] = (("bytes", "@fmt"), ("caption", "txt")),
     manifest_table: str | None = None,
     num_partitions: int | None = None,
+    table=None,
 ) -> dict:
     """Resumable training export of an engine table: aspect-bucket → pack →
     tar shards, with the shard manifest COMMITTED as an engine table
-    (``<table>_export``) stamped with the source snapshot id.
+    (``<table>_export``) stamped with the source snapshot id AND a
+    fingerprint of the export configuration.
 
     Exactly-once without a transaction across the tar store and the
     catalog: shard assignment is a pure function of (snapshot, key order,
     ladder, batch_size), and each tar's bytes are deterministic, so
     re-exporting a shard is idempotent (write-then-rename republishes the
     identical file). Resume therefore only needs the manifest: shards
-    already recorded for THIS source snapshot are skipped (anti-join on
+    already recorded for THIS (snapshot, config) are skipped (anti-join on
     shard_name); a crash after tars landed but before the manifest commit
     re-exports exactly the unrecorded shards byte-identically. If the
-    source snapshot moved since the last export, shard contents may have
-    shifted wholesale, so the job starts over (full re-export, manifest
-    overwritten under the new stamp) — the stamp rides in the SAME commit
-    as the manifest rows, so no crash can publish rows under a stale stamp.
+    source snapshot OR any packing-relevant setting (batch_size, ladder,
+    members, key_col, out_dir) changed since the last export, shard
+    contents may have shifted wholesale, so the job starts over: full
+    re-export, manifest overwritten under the new stamps, and stale
+    ``{prefix}shard-*.tar`` files from the previous run swept from out_dir
+    (consumers that glob the directory must never see shards of a retired
+    packing). Both stamps ride in the SAME commit as the manifest rows, so
+    no crash can publish rows under stale stamps.
+
+    Shard names are prefixed with the sanitized table identifier, so many
+    tables can export into one directory without colliding. Pass ``table``
+    (an already-bound Table, e.g. a branch handle) to export something
+    other than the catalog's main head; the snapshot stamp is taken from
+    that handle.
 
     Returns {exported, skipped, items, bytes, manifest_table, snapshot_id}.
     """
     from ..core.spec import TableSpec
 
-    t = cat.load_table(table_name)
+    t = table if table is not None else cat.load_table(table_name)
     snap = t.current_snapshot()
     if snap is None:
         raise ValueError(f"{table_name} has no snapshot to export")
     src_id = int(snap.snapshot_id)
     mt_name = manifest_table or f"{table_name}_export"
     stamp_key = "export-source-snapshot-id"
+    config_key = "export-config-fingerprint"
+    prefix = table_name.replace(".", "_") + "-"
+    config_fp = hashlib.md5(
+        json.dumps(
+            {
+                "key_col": key_col,
+                "batch_size": int(batch_size),
+                "buckets": [list(map(int, b)) for b in buckets],
+                "members": [list(m) for m in members],
+                "out_dir": os.path.abspath(out_dir),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
 
     done: set[str] = set()
     fresh_manifest = True
     if cat.table_exists(mt_name):
         mt = cat.load_table(mt_name)
-        if mt.properties.get(stamp_key) == str(src_id):
+        if (
+            mt.properties.get(stamp_key) == str(src_id)
+            and mt.properties.get(config_key) == config_fp
+        ):
             fresh_manifest = False
             done = {
                 r["shard_name"]
@@ -306,32 +364,49 @@ def export_webdataset_job(
         batch_size=batch_size,
         order_col=key_col,
         num_partitions=num_partitions,
-    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"]))
+    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"], prefix))
     if done:
         names = spark.createDataFrame(
             [(n,) for n in sorted(done)], "_shard_name string"
         )
         packed = packed.join(F.broadcast(names), "_shard_name", "left_anti")
 
-    manifest = export_webdataset(
-        packed.drop("_shard_name"), out_dir, list(members), key_col=key_col
-    )
+    manifest = export_webdataset(packed, out_dir, list(members), key_col=key_col)
     rows = manifest.collect()
 
     if not cat.table_exists(mt_name):
         cat.create_table(mt_name, _MANIFEST_SCHEMA, TableSpec())
     mt = cat.load_table(mt_name)
     new_rows = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    stamps = {stamp_key: src_id, config_key: config_fp}
     if fresh_manifest:
         # always overwrite on a stamp change — an empty export must still
         # retire a stale manifest, not leave it published under a new head
-        mt.overwrite(new_rows, set_properties={stamp_key: src_id})
+        mt.overwrite(new_rows, set_properties=stamps)
+        # sweep THIS table's tars from retired packings: shard names are a
+        # pure function of (bucket, batch index), so a shrunken export
+        # leaves valid-looking high-numbered tars behind otherwise — and
+        # directory-globbing consumers would train on retired data
+        live = {r["shard_name"] for r in rows}
+        swept = 0
+        for fn in os.listdir(out_dir):
+            if (
+                fn.startswith(f"{prefix}shard-")
+                and fn.endswith(".tar")
+                and fn not in live
+            ):
+                os.unlink(os.path.join(out_dir, fn))
+                swept += 1
     elif rows:
         entries = mt.write_data_files(new_rows)
-        mt.commit_append(entries, set_properties={stamp_key: src_id})
+        mt.commit_append(entries, set_properties=stamps)
+        swept = 0
+    else:
+        swept = 0
     return {
         "exported": len(rows),
         "skipped": len(done),
+        "swept": swept,
         "items": int(sum(r["n_items"] for r in rows)),
         "bytes": int(sum(r["n_bytes"] for r in rows)),
         "manifest_table": mt_name,

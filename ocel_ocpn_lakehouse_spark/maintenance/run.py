@@ -390,6 +390,7 @@ def main(argv=None) -> int:
             rep["export"] = export_webdataset_job(
                 spark, cat, table_name, args.export_dir,
                 batch_size=args.batch_size,
+                table=t.refresh(),  # honors --branch: export the bound head
             )
 
         if args.op == "rollback":

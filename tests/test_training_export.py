@@ -218,3 +218,63 @@ def test_export_job_resume_restamp_and_cli(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["export"]["exported"] == 0
     assert rep["export"]["skipped"] == r4["exported"]
+
+
+def test_grouped_assign_shards_null_group_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, None, 5)], "doc_id long, grp int, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="null group key"):
+        assign_shards(df, budget=10, group_cols=["grp"], num_partitions=2).collect()
+
+
+def test_export_job_config_change_resweeps(spark, tmp_path):
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA
+
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "out")
+    cat = Catalog(wh)
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    t.append(synth_images_df(spark, 64, seed=4), num_files=4)
+
+    r1 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=4)
+    # same snapshot, different batch_size -> config fingerprint mismatch:
+    # full re-export, and tars of the retired packing are swept
+    r2 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=32)
+    assert r2["skipped"] == 0 and r2["items"] == 64
+    assert r2["exported"] < r1["exported"]  # coarser packing -> fewer shards
+    assert r2["swept"] > 0
+    import os
+
+    on_disk = {f for f in os.listdir(out) if f.endswith(".tar")}
+    mt = cat.load_table(r2["manifest_table"]).refresh()
+    manifest_names = {r["shard_name"] for r in mt.scan(spark).collect()}
+    assert on_disk == manifest_names  # directory == manifest, no strays
+    assert all(n.startswith("ocel_images-shard-") for n in on_disk)
+
+
+def test_export_job_branch_head(spark, tmp_path):
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA
+
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "out")
+    cat = Catalog(wh)
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    t.append(synth_images_df(spark, 40, seed=6), num_files=2)
+    t.create_branch("staging")
+    tb = t.branch("staging")
+    tb.append(
+        synth_images_df(spark, 16, seed=99).selectExpr(
+            "concat('b_', image_id) AS image_id",
+            "bytes", "w", "h", "fmt", "caption", "phash",
+        ),
+        num_files=1,
+    )
+    # main head: 40 rows; branch head: 56 — the bound handle must win
+    r = export_webdataset_job(
+        spark, cat, "ocel.images", out, batch_size=8, table=tb.refresh()
+    )
+    assert r["items"] == 56
+    assert r["snapshot_id"] == tb.refresh().current_snapshot().snapshot_id
