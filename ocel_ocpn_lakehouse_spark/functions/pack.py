@@ -31,6 +31,7 @@ def assign_shards(
     order_col: str = "doc_id",
     num_partitions: int | None = None,
     group_cols: list[str] | None = None,
+    group_offsets: dict | None = None,
 ) -> DataFrame:
     """Add ``shard`` = floor(tokens-before-this-doc / budget) in order_col
     order: contiguous docs pack into the same shard until the budget
@@ -51,7 +52,14 @@ def assign_shards(
     (dozens of aspect buckets, hundreds of domains), NOT a high-cardinality
     key; shard counts within a group stay dense because the group's cells
     prefix-sum in ascending-pid order. Group columns must be non-null (the
-    shard map equi-joins on them)."""
+    shard map equi-joins on them).
+
+    ``group_offsets`` maps a group-key tuple to the token count ALREADY
+    packed for that group before this call — the cumsum (and therefore the
+    shard ids) continues from there instead of 0. This is how incremental
+    packing appends to an existing shard sequence at delta cost: pack only
+    the new rows with offsets = the old per-group totals, and the resulting
+    shard ids line up exactly with a from-scratch repack of old+new."""
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     gcols = list(group_cols or [])
@@ -94,7 +102,7 @@ def assign_shards(
         by_group.setdefault(gkey, []).append((r["_pid"], int(r["_tot"])))
     offsets = []
     for gkey, cells in by_group.items():
-        run = 0
+        run = int((group_offsets or {}).get(gkey, 0))
         for pid, tot in sorted(cells):
             offsets.append((pid, *gkey, run))
             run += tot

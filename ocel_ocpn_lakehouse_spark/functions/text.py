@@ -23,6 +23,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pretokenizer classes, minus the lookahead whitespace terms
+# (pure-whitespace runs aren't counted as tokens): contractions, then
+# optionally-space-prefixed letter runs / digit runs / symbol runs. Kept
+# RE2-compatible (no lookahead) so an independent engine reproduces the
+# count exactly — DuckDB's regexp_extract_all on this same pattern is the
+# cross-engine oracle in tests.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-budget estimate: counts GPT-2-pretokenizer word pieces
+    (contractions / letter runs / digit runs / symbol runs). Tracks real
+    BPE token budgets far closer than whitespace counting on punctuated or
+    code-mixed text, while staying a single JVM regexp_count expression —
+    the shard-packing budget column for token-budget exports at any
+    scale."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def stopword_count(text: Column) -> Column:
     return _stop_filter(text)
 

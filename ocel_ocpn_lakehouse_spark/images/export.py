@@ -123,13 +123,17 @@ def pack_training_batches(
     bucket_col: str = "bucket_id",
     order_col: str = "image_id",
     num_partitions: int | None = None,
+    bucket_offsets: dict | None = None,
 ) -> DataFrame:
     """Add ``shard``: within each bucket, rows in order_col order pack into
     consecutive batches of exactly ``batch_size`` (the bucket's final batch
     may run short). Same-bucket-only batches are the aspect-bucketing
     contract — a training step resizes its whole batch to one target
     resolution. Built on the grouped distributed cumsum with unit weights,
-    so no bucket ever serializes into a single window task."""
+    so no bucket ever serializes into a single window task.
+
+    ``bucket_offsets`` maps bucket id → rows already packed in that bucket
+    (incremental export: batch ids continue the existing sequence)."""
     unit = "_unit_weight"
     packed = assign_shards(
         df.withColumn(unit, F.lit(1)),
@@ -138,6 +142,7 @@ def pack_training_batches(
         order_col=order_col,
         num_partitions=num_partitions,
         group_cols=[bucket_col],
+        group_offsets={(k,): v for k, v in (bucket_offsets or {}).items()},
     )
     return packed.drop(unit)
 
@@ -149,6 +154,13 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("n_items", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
+        # packing coordinates + key span (null when the caller shards on
+        # something other than (bucket_id, shard)); the incremental export
+        # path reconstructs per-bucket boundaries from these
+        T.StructField("bucket_id", T.IntegerType(), True),
+        T.StructField("shard", T.IntegerType(), True),
+        T.StructField("first_key", T.StringType(), True),
+        T.StructField("last_key", T.StringType(), True),
     ]
 )
 
@@ -229,7 +241,8 @@ def export_webdataset(
     os.makedirs(out_dir, exist_ok=True)
     ext_cols = sorted({e[1:] for _, e in members if e.startswith("@")})
     data_cols = [c for c, _ in members]
-    needed = list(dict.fromkeys([key_col, *data_cols, *ext_cols]))
+    coords = [c for c in ("bucket_id", "shard") if c in df.columns]
+    needed = list(dict.fromkeys([key_col, *data_cols, *ext_cols, *coords]))
     mem_spec = list(members)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -261,6 +274,16 @@ def export_webdataset(
                     "n_items": len(pdf),
                     "n_bytes": hf.n,
                     "sha256": hf.sha.hexdigest(),
+                    "bucket_id": (
+                        int(pdf.iloc[0]["bucket_id"])
+                        if "bucket_id" in pdf.columns
+                        else None
+                    ),
+                    "shard": (
+                        int(pdf.iloc[0]["shard"]) if "shard" in pdf.columns else None
+                    ),
+                    "first_key": str(pdf.iloc[0][key_col]),
+                    "last_key": str(pdf.iloc[-1][key_col]),
                 }
             ]
         )
@@ -275,6 +298,159 @@ def export_webdataset(
         .groupBy("_shard_name")
         .applyInPandas(write_shard, schema=_MANIFEST_SCHEMA)
     )
+
+
+def _key_caster(dtype):
+    """Parse a manifest-stored string key back to the key column's python
+    type for driver-side comparisons (O(#buckets) values only)."""
+    s = dtype.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int
+    if s in ("float", "double"):
+        return float
+    return str
+
+
+def _incremental_export(
+    spark,
+    t,
+    mt,
+    out_dir: str,
+    prefix: str,
+    key_col: str,
+    batch_size: int,
+    buckets,
+    members,
+    num_partitions,
+    prev_id: int,
+    src_id: int,
+    stamps: dict,
+) -> dict | None:
+    """Append-only delta export: pack ONLY the new rows (plus each touched
+    bucket's partial tail shard) with per-bucket shard offsets continuing
+    the recorded sequence — cost ∝ delta, not corpus. Returns None when the
+    incremental contract doesn't hold (non-append history, a bucket whose
+    new keys don't sort after its recorded ones, or a manifest without
+    packing coordinates), in which case the caller re-exports in full.
+    Equivalence invariant (tested): the resulting directory + manifest are
+    byte-identical to a from-scratch export of the full corpus."""
+    from ..core.table import IncrementalScanError, PrunePredicate
+
+    try:
+        delta = t.incremental_scan(spark, prev_id, src_id)
+    except IncrementalScanError:
+        return None
+
+    old = mt.scan(spark)
+    if old.filter(F.col("bucket_id").isNull() | F.col("shard").isNull()).limit(1).count():
+        return None  # manifest predates packing coordinates
+    key_dtype = t.schema[key_col].dataType
+    caster = _key_caster(key_dtype)
+
+    # per-bucket recorded state: total rows, overall last key, and the last
+    # FULL shard's last key (the tail boundary) — O(#buckets) driver rows
+    totals = old.groupBy("bucket_id").agg(
+        F.sum("n_items").alias("tot"),
+        F.max_by("last_key", "shard").alias("bucket_last_key"),
+    )
+    full_b = (
+        old.filter(F.col("n_items") == batch_size)
+        .groupBy("bucket_id")
+        .agg(F.max_by("last_key", "shard").alias("full_boundary_key"))
+    )
+    stats = {
+        int(r["bucket_id"]): r.asDict()
+        for r in totals.join(full_b, "bucket_id", "left").collect()
+    }
+
+    # bucket the delta and check monotonicity per touched bucket in ONE
+    # O(#buckets) aggregate: every new key must sort after the bucket's
+    # recorded last key, else shard contents shift and we fall back
+    delta_b = assign_aspect_buckets(delta, buckets=buckets)
+    dmin_rows = (
+        delta_b.groupBy("bucket_id").agg(F.min(key_col).alias("dmin")).collect()
+    )
+    touched = {}
+    for r in dmin_rows:
+        b = int(r["bucket_id"])
+        st = stats.get(b)
+        if st is not None and r["dmin"] <= caster(st["bucket_last_key"]):
+            return None
+        touched[b] = st
+    if not touched:
+        # replace-only range (compaction etc.): nothing moved — restamp
+        mt.commit_append([], set_properties=stamps)
+        return {
+            "exported": 0,
+            "skipped": int(old.count()),
+            "swept": 0,
+            "items": 0,
+            "bytes": 0,
+            "mode": "incremental",
+        }
+
+    # old rows still in play: each touched bucket's rows AFTER its last
+    # full shard (the partial tail that new rows keep filling). File-level
+    # pruning on the key column applies when every touched bucket with old
+    # rows has a full boundary; otherwise scan unpruned but still filter.
+    with_old = {b: st for b, st in touched.items() if st is not None}
+    prunable = all(st["full_boundary_key"] is not None for st in with_old.values())
+    prune = []
+    if with_old and prunable:
+        min_boundary = min(
+            caster(st["full_boundary_key"]) for st in with_old.values()
+        )
+        prune = [PrunePredicate(key_col, ">", min_boundary)]
+    binfo = spark.createDataFrame(
+        [
+            (b, st["full_boundary_key"] if st else None, bool(st is None or st["full_boundary_key"] is None))
+            for b, st in touched.items()
+        ],
+        "bucket_id int, _boundary string, _no_full boolean",
+    )
+    # the tail reads the PREVIOUS snapshot: the current head includes the
+    # delta rows, which are already in to_pack via delta_b — scanning head
+    # here would double-count every appended row
+    prev_scan = (
+        t.scan(spark, snapshot_id=prev_id, prune=prune)
+        if prune
+        else t.scan(spark, snapshot_id=prev_id)
+    )
+    tail = assign_aspect_buckets(prev_scan, buckets=buckets)
+    tail_rows = tail.join(F.broadcast(binfo), "bucket_id").filter(
+        F.col("_no_full") | (F.col(key_col) > F.col("_boundary").cast(key_dtype))
+    ).drop("_boundary", "_no_full")
+
+    cols = delta_b.columns
+    to_pack = tail_rows.select(*cols).unionByName(delta_b.select(*cols))
+    offsets = {
+        b: int(st["tot"]) - int(st["tot"]) % batch_size
+        for b, st in with_old.items()
+    }
+    packed = pack_training_batches(
+        to_pack,
+        batch_size=batch_size,
+        order_col=key_col,
+        num_partitions=num_partitions,
+        bucket_offsets=offsets,
+    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"], prefix))
+    rows = export_webdataset(packed, out_dir, list(members), key_col=key_col).collect()
+
+    new_names = spark.createDataFrame(
+        [(r["shard_name"],) for r in rows], "shard_name string"
+    )
+    kept = old.join(F.broadcast(new_names), "shard_name", "left_anti")
+    final = kept.unionByName(spark.createDataFrame(rows, _MANIFEST_SCHEMA))
+    n_kept = int(kept.count())
+    mt.overwrite(final, set_properties=stamps)
+    return {
+        "exported": len(rows),
+        "skipped": n_kept,
+        "swept": 0,
+        "items": int(sum(r["n_items"] for r in rows)),
+        "bytes": int(sum(r["n_bytes"] for r in rows)),
+        "mode": "incremental",
+    }
 
 
 def export_webdataset_job(
@@ -345,19 +521,32 @@ def export_webdataset_job(
         ).encode()
     ).hexdigest()
 
+    stamps = {stamp_key: src_id, config_key: config_fp}
     done: set[str] = set()
     fresh_manifest = True
     if cat.table_exists(mt_name):
         mt = cat.load_table(mt_name)
-        if (
-            mt.properties.get(stamp_key) == str(src_id)
-            and mt.properties.get(config_key) == config_fp
-        ):
+        same_config = mt.properties.get(config_key) == config_fp
+        prev = mt.properties.get(stamp_key)
+        if same_config and prev == str(src_id):
             fresh_manifest = False
             done = {
                 r["shard_name"]
                 for r in mt.scan(spark, columns=["shard_name"]).collect()
             }
+        elif same_config and prev is not None:
+            # the source moved but the config didn't: try the delta path —
+            # pack only appended rows (+ each touched bucket's partial tail
+            # shard) with continuing shard offsets. Falls back to the full
+            # re-export below on any contract violation.
+            inc = _incremental_export(
+                spark, t, mt, out_dir, prefix, key_col, batch_size,
+                buckets, members, num_partitions, int(prev), src_id, stamps,
+            )
+            if inc is not None:
+                inc["manifest_table"] = mt_name
+                inc["snapshot_id"] = src_id
+                return inc
 
     packed = pack_training_batches(
         assign_aspect_buckets(t.scan(spark), buckets=buckets),
@@ -378,7 +567,6 @@ def export_webdataset_job(
         cat.create_table(mt_name, _MANIFEST_SCHEMA, TableSpec())
     mt = cat.load_table(mt_name)
     new_rows = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
-    stamps = {stamp_key: src_id, config_key: config_fp}
     if fresh_manifest:
         # always overwrite on a stamp change — an empty export must still
         # retire a stale manifest, not leave it published under a new head

@@ -809,3 +809,42 @@ def test_lsh_neardup_dup_regime_defaults(spark):
     assert got == {(0, 100), (1, 101)}
     with pytest.raises(ValueError, match="both bands and planes_per_band"):
         S.lsh_neardup_pairs(df, threshold=0.9, bands=8, dim=8)
+
+
+def test_bpe_token_count_cross_engine(spark):
+    """bpe_token_count (JVM regexp_count) == DuckDB regexp_extract_all on
+    the same RE2-compatible pattern — the cross-engine contract that lets
+    token-budget packing use it as the budget column."""
+    import duckdb
+
+    from ocel_ocpn_lakehouse_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    texts = [
+        "Hello, world! It's 2026.",
+        "  foo_bar baz42  ",
+        "don't stop-me now... we're ready",
+        "",
+        "42nd 3.14 x+y=z",
+        "naïve café ±3 €5",
+        "a" * 500 + " b,c;d",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        n = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert got[i] == n, (i, t, got[i], n)
+    # sanity: punctuation-heavy text counts more pieces than whitespace does
+    assert got[0] > len(texts[0].split())

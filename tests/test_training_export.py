@@ -199,12 +199,14 @@ def test_export_job_resume_restamp_and_cli(spark, tmp_path, capsys):
     }
     assert after == full  # re-exported shards byte-identical to originals
 
-    # source moved -> stamp mismatch -> full re-export under the new stamp
+    # source moved by a monotone append ('x_' sorts after 'img_') -> the
+    # incremental path re-exports only the delta + touched partial tails,
+    # and the manifest restamps to the new head covering all 104 rows
     t.refresh().append(synth_images_df(spark, 24, seed=77).selectExpr(
         "concat('x_', image_id) AS image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     ), num_files=2)
     r4 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
-    assert r4["skipped"] == 0 and r4["items"] == 104
+    assert r4["mode"] == "incremental" and r4["items"] >= 24
     mt2 = cat.load_table(r1["manifest_table"]).refresh()
     assert mt2.properties["export-source-snapshot-id"] == str(r4["snapshot_id"])
     assert sum(r["n_items"] for r in mt2.scan(spark).collect()) == 104
@@ -217,7 +219,9 @@ def test_export_job_resume_restamp_and_cli(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["export"]["exported"] == 0
-    assert rep["export"]["skipped"] == r4["exported"]
+    assert rep["export"]["skipped"] == len(
+        cat.load_table(r1["manifest_table"]).refresh().scan(spark).collect()
+    )
 
 
 def test_grouped_assign_shards_null_group_raises(spark):
@@ -278,3 +282,79 @@ def test_export_job_branch_head(spark, tmp_path):
     )
     assert r["items"] == 56
     assert r["snapshot_id"] == tb.refresh().current_snapshot().snapshot_id
+
+
+def _mk_images_table(spark, tmp_path, n=60, seed=11, files=3):
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    t.append(synth_images_df(spark, n, seed=seed), num_files=files)
+    return cat, t
+
+
+def _append_prefixed(spark, t, prefix, n, seed):
+    t.refresh().append(
+        synth_images_df(spark, n, seed=seed).selectExpr(
+            f"concat('{prefix}', image_id) AS image_id",
+            "bytes", "w", "h", "fmt", "caption", "phash",
+        ),
+        num_files=2,
+    )
+
+
+def test_export_job_incremental_equals_full(spark, tmp_path):
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+
+    cat, t = _mk_images_table(spark, tmp_path)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    r1 = export_webdataset_job(spark, cat, "ocel.images", out1, batch_size=8)
+    # append rows whose keys sort AFTER everything recorded ('z_' > 'img_')
+    _append_prefixed(spark, t, "z_", 28, 12)
+    r2 = export_webdataset_job(spark, cat, "ocel.images", out1, batch_size=8)
+    assert r2["mode"] == "incremental"
+    assert r2["items"] >= 28  # delta + touched partial tails only
+    assert r2["skipped"] > 0  # full shards of untouched packing kept
+    # oracle: a from-scratch export of the same head is byte-identical
+    r3 = export_webdataset_job(
+        spark, cat, "ocel.images", out2, batch_size=8,
+        manifest_table="ocel.images_export_oracle",
+    )
+    inc = {
+        (r["shard_name"]): (r["n_items"], r["sha256"])
+        for r in cat.load_table("ocel.images_export").refresh().scan(spark).collect()
+    }
+    full = {
+        (r["shard_name"]): (r["n_items"], r["sha256"])
+        for r in cat.load_table("ocel.images_export_oracle").refresh().scan(spark).collect()
+    }
+    assert inc == full
+    assert sum(n for n, _ in inc.values()) == 88
+    # and the incremental directory's bytes match its manifest
+    import hashlib as _h
+    import os as _os
+
+    for r in cat.load_table("ocel.images_export").refresh().scan(spark).collect():
+        with open(_os.path.join(out1, r["shard_name"]), "rb") as f:
+            assert _h.sha256(f.read()).hexdigest() == r["sha256"]
+
+
+def test_export_job_incremental_fallbacks(spark, tmp_path):
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+    from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+
+    cat, t = _mk_images_table(spark, tmp_path)
+    out = str(tmp_path / "o")
+    export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    # keys sorting BEFORE recorded ones ('a_' < 'img_') shift shard
+    # contents -> monotonicity violated -> silent full re-export
+    _append_prefixed(spark, t, "a_", 12, 13)
+    r = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert "mode" not in r and r["skipped"] == 0 and r["items"] == 72
+    # a non-append commit (MoR delete) -> IncrementalScanError -> full
+    delete_where(spark, t.refresh(), "w = 32")
+    r2 = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert "mode" not in r2 and r2["skipped"] == 0
+    left = t.refresh().scan(spark).count()
+    assert r2["items"] == left
