@@ -164,3 +164,40 @@ def ask(
         return None, {}, None
     params = extract_parameters(question, intent)
     return intent, params, DISPATCH[intent](spark, events, params)
+
+
+def ask_tracked(
+    spark: SparkSession,
+    events: DataFrame,
+    question: str,
+    tracker,
+    cache=None,
+) -> tuple[str | None, dict, list]:
+    """``ask`` plus the reference's execute_optimized_query bookkeeping
+    (agent/query_optimizer.py:296-341): materializes the answer, times it,
+    records the (query_type, latency, cache-hit) pattern on ``tracker`` (a
+    ``QueryPatternTracker``), and routes through the warehouse-shared TTL
+    ``ResultCache`` when given. Returns (intent, params, rows) — rows, not
+    a lazy frame, because the recorded latency must cover execution."""
+    import time as _time
+
+    intent = classify_intent(question)
+    if intent is None:
+        return None, {}, []
+    params = extract_parameters(question, intent)
+    t0 = _time.time()
+    cached = False
+    if cache is not None:
+        from .result_cache import cache_key
+
+        key = cache_key(intent, params)
+        hit = cache.lookup(spark, key)
+        if hit is not None:
+            df, cached = hit, True
+        else:
+            df = cache.store(DISPATCH[intent](spark, events, params), key)
+    else:
+        df = DISPATCH[intent](spark, events, params)
+    rows = df.collect()
+    tracker.record(intent, _time.time() - t0, cached=cached)
+    return intent, params, rows

@@ -113,3 +113,76 @@ class ResultCache:
                 self.invalidate(m["key"])
                 n += 1
         return n
+
+
+class QueryPatternTracker:
+    """Query-pattern recording + MV recommendation — the remaining
+    query-optimizer duty (reference agent/query_optimizer.py:278-294
+    `_record_query_pattern`, :343-367 metrics, :387-417
+    `recommend_new_materialized_views`, :417-455 performance analysis).
+
+    The reference thresholds are kept verbatim: a query type is
+    recommended for materialization when it ran slow (> threshold) more
+    than ``min_frequency`` times, 'high' priority above 20 occurrences.
+    State is a bounded in-process ring like the reference's
+    ``performance_metrics`` list; this is driver-side bookkeeping over a
+    handful of floats per query — never row data."""
+
+    def __init__(self, slow_query_threshold_s: float = 5.0, max_entries: int = 1000):
+        self.slow_query_threshold_s = float(slow_query_threshold_s)
+        self.max_entries = int(max_entries)
+        self.metrics: list[dict] = []
+
+    def record(self, query_type: str, execution_s: float, cached: bool = False) -> None:
+        self.metrics.append(
+            {
+                "query_type": query_type,
+                "execution_time_ms": float(execution_s) * 1000.0,
+                "cached": bool(cached),
+                "ts": time.time(),
+            }
+        )
+        if len(self.metrics) > self.max_entries:
+            del self.metrics[: len(self.metrics) - self.max_entries]
+
+    def recommend_materialized_views(self, min_frequency: int = 5) -> list[dict]:
+        """Query types frequently over the slow threshold, worst first
+        (reference :387-414; 'high' above 20 occurrences)."""
+        slow: dict[str, list[float]] = {}
+        for m in self.metrics:
+            if m["execution_time_ms"] > self.slow_query_threshold_s * 1000.0:
+                slow.setdefault(m["query_type"], []).append(m["execution_time_ms"])
+        recs = [
+            {
+                "query_type": qt,
+                "frequency": len(ts),
+                "avg_time_ms": sum(ts) / len(ts),
+                "recommended_view": f"ocel.{qt}_optimized",
+                "priority": "high" if len(ts) > 20 else "medium",
+            }
+            for qt, ts in slow.items()
+            if len(ts) > min_frequency
+        ]
+        return sorted(recs, key=lambda r: (-r["frequency"], -r["avg_time_ms"]))
+
+    def performance_analysis(self) -> dict:
+        """Aggregate view of recorded patterns (reference :417-455)."""
+        if not self.metrics:
+            return {"error": "No performance metrics available"}
+        recent = self.metrics[-100:]
+        by_type: dict[str, list[float]] = {}
+        for m in self.metrics:
+            by_type.setdefault(m["query_type"], []).append(m["execution_time_ms"])
+        return {
+            "total_queries": len(self.metrics),
+            "avg_recent_ms": sum(m["execution_time_ms"] for m in recent) / len(recent),
+            "cache_hit_rate": sum(1 for m in self.metrics if m["cached"])
+            / len(self.metrics),
+            "slowest": sorted(
+                self.metrics, key=lambda m: -m["execution_time_ms"]
+            )[:10],
+            "by_type": {
+                qt: {"n": len(ts), "avg_ms": sum(ts) / len(ts), "max_ms": max(ts)}
+                for qt, ts in by_type.items()
+            },
+        }

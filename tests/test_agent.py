@@ -113,3 +113,46 @@ def test_result_cache_ttl(spark, tmp_path):
 
     assert cache_key("a", {"x": 1}) != cache_key("a", {"x": 2})
     assert cache_key("a", {"x": 1}) == cache_key("a", {"x": 1})
+
+
+def test_query_pattern_tracker_recommendations(spark, tmp_path):
+    """QueryPatternTracker mirrors the reference's thresholds
+    (query_optimizer.py:387-414): recommend after >5 slow runs, 'high'
+    above 20; performance_analysis aggregates; ask_tracked records real
+    latencies and cache hits through the shared TTL cache."""
+    from ocel_ocpn_lakehouse_spark.agent.intent import ask_tracked
+    from ocel_ocpn_lakehouse_spark.agent.result_cache import (
+        QueryPatternTracker,
+        ResultCache,
+    )
+
+    events_df = _events(spark)
+    tr = QueryPatternTracker(slow_query_threshold_s=0.001)
+    cache = ResultCache(str(tmp_path / "wh"), ttl_s=600)
+    i1, _, rows1 = ask_tracked(
+        spark, events_df, "What are the most common process variants?", tr, cache=cache
+    )
+    assert i1 == "process_variants" and rows1
+    i2, _, rows2 = ask_tracked(
+        spark, events_df, "What are the most common process variants?", tr, cache=cache
+    )
+    assert rows2 == rows1 and tr.metrics[-1]["cached"] is True
+
+    # drive one type over both thresholds with synthetic latencies
+    for _ in range(25):
+        tr.record("bottlenecks", 9.0)
+    for _ in range(6):
+        tr.record("case_duration", 7.0)
+    tr.record("fast_one", 0.0000001)
+    recs = tr.recommend_materialized_views()
+    by_type = {r["query_type"]: r for r in recs}
+    assert by_type["bottlenecks"]["priority"] == "high"
+    assert by_type["case_duration"]["priority"] == "medium"
+    assert by_type["bottlenecks"]["recommended_view"] == "ocel.bottlenecks_optimized"
+    assert "fast_one" not in by_type
+    assert recs[0]["query_type"] == "bottlenecks"  # worst first
+
+    pa = tr.performance_analysis()
+    assert pa["total_queries"] == len(tr.metrics)
+    assert pa["by_type"]["bottlenecks"]["n"] == 25
+    assert 0 < pa["cache_hit_rate"] < 1
