@@ -188,14 +188,9 @@ def ask_tracked(
     t0 = _time.time()
     cached = False
     if cache is not None:
-        from .result_cache import cache_key
-
-        key = cache_key(intent, params)
-        hit = cache.lookup(spark, key)
-        if hit is not None:
-            df, cached = hit, True
-        else:
-            df = cache.store(DISPATCH[intent](spark, events, params), key)
+        df, cached = cache.get_or_compute_tracked(
+            spark, intent, params, lambda: DISPATCH[intent](spark, events, params)
+        )
     else:
         df = DISPATCH[intent](spark, events, params)
     rows = df.collect()

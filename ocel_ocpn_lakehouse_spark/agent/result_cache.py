@@ -88,11 +88,24 @@ class ResultCache:
     ) -> DataFrame:
         """Cached query entry point: returns the cached DataFrame when
         fresh, else runs ``build()`` and persists its result."""
+        return self.get_or_compute_tracked(spark, query_type, parameters, build, ttl_s)[0]
+
+    def get_or_compute_tracked(
+        self,
+        spark: SparkSession,
+        query_type: str,
+        parameters: dict | None,
+        build,
+        ttl_s: float | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """(result, was_hit) — the single lookup/store sequence; callers
+        that record hit rates (QueryPatternTracker) use this so cache
+        semantics live in exactly one place."""
         key = cache_key(query_type, parameters)
         hit = self.lookup(spark, key)
         if hit is not None:
-            return hit
-        return self.store(build(), key, ttl_s)
+            return hit, True
+        return self.store(build(), key, ttl_s), False
 
     def invalidate(self, key: str) -> None:
         ddir, meta = self._paths(key)

@@ -28,8 +28,13 @@ def token_count(text: Column) -> Column:
 # optionally-space-prefixed letter runs / digit runs / symbol runs. Kept
 # RE2-compatible (no lookahead) so an independent engine reproduces the
 # count exactly — DuckDB's regexp_extract_all on this same pattern is the
-# cross-engine oracle in tests.
-BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# cross-engine oracle in tests. Whitespace is an EXPLICIT class instead of
+# \s: Java's \s includes vertical tab (\x0B) while RE2's does not, and
+# that one character would silently break the cross-engine count.
+_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

@@ -241,7 +241,16 @@ def export_webdataset(
     os.makedirs(out_dir, exist_ok=True)
     ext_cols = sorted({e[1:] for _, e in members if e.startswith("@")})
     data_cols = [c for c, _ in members]
-    coords = [c for c in ("bucket_id", "shard") if c in df.columns]
+    # packing coordinates are recorded ONLY when the shard identity really
+    # is (bucket_id, shard) — a caller sharding on anything else may still
+    # carry those columns, but they'd be arbitrary per-shard values with
+    # none of the semantics the incremental path reconstructs from
+    coords = (
+        ["bucket_id", "shard"]
+        if shard_cols == ["bucket_id", "shard"]
+        and {"bucket_id", "shard"}.issubset(df.columns)
+        else []
+    )
     needed = list(dict.fromkeys([key_col, *data_cols, *ext_cols, *coords]))
     mem_spec = list(members)
 
@@ -302,13 +311,18 @@ def export_webdataset(
 
 def _key_caster(dtype):
     """Parse a manifest-stored string key back to the key column's python
-    type for driver-side comparisons (O(#buckets) values only)."""
+    type for driver-side comparisons (O(#buckets) values only). Returns
+    None for key types whose string round-trip has no safe comparator
+    (dates, timestamps, decimals, binary) — the incremental path then
+    declines and the job falls back to a full re-export."""
     s = dtype.simpleString()
     if s in ("tinyint", "smallint", "int", "bigint"):
         return int
     if s in ("float", "double"):
         return float
-    return str
+    if s == "string":
+        return str
+    return None
 
 
 def _incremental_export(
@@ -342,15 +356,21 @@ def _incremental_export(
         return None
 
     old = mt.scan(spark)
-    if old.filter(F.col("bucket_id").isNull() | F.col("shard").isNull()).limit(1).count():
+    if not {"bucket_id", "shard", "last_key"}.issubset(old.columns):
         return None  # manifest predates packing coordinates
     key_dtype = t.schema[key_col].dataType
     caster = _key_caster(key_dtype)
+    if caster is None:
+        return None  # key type without a safe driver-side comparator
 
     # per-bucket recorded state: total rows, overall last key, and the last
-    # FULL shard's last key (the tail boundary) — O(#buckets) driver rows
+    # FULL shard's last key (the tail boundary) — O(#buckets) driver rows,
+    # ONE manifest aggregate (null-coordinate detection and the total shard
+    # count ride in the same job)
     totals = old.groupBy("bucket_id").agg(
         F.sum("n_items").alias("tot"),
+        F.count("*").alias("n_shards"),
+        F.sum(F.col("shard").isNull().cast("int")).alias("null_shards"),
         F.max_by("last_key", "shard").alias("bucket_last_key"),
     )
     full_b = (
@@ -358,10 +378,14 @@ def _incremental_export(
         .groupBy("bucket_id")
         .agg(F.max_by("last_key", "shard").alias("full_boundary_key"))
     )
-    stats = {
-        int(r["bucket_id"]): r.asDict()
-        for r in totals.join(full_b, "bucket_id", "left").collect()
-    }
+    stat_rows = totals.join(full_b, ["bucket_id"], "left").collect()
+    if any(
+        r["bucket_id"] is None or r["null_shards"] or r["bucket_last_key"] is None
+        for r in stat_rows
+    ):
+        return None  # rows without packing coordinates: fall back to full
+    stats = {int(r["bucket_id"]): r.asDict() for r in stat_rows}
+    n_old_shards = sum(r["n_shards"] for r in stat_rows)
 
     # bucket the delta and check monotonicity per touched bucket in ONE
     # O(#buckets) aggregate: every new key must sort after the bucket's
@@ -382,7 +406,7 @@ def _incremental_export(
         mt.commit_append([], set_properties=stamps)
         return {
             "exported": 0,
-            "skipped": int(old.count()),
+            "skipped": n_old_shards,
             "swept": 0,
             "items": 0,
             "bytes": 0,
@@ -526,6 +550,18 @@ def export_webdataset_job(
     fresh_manifest = True
     if cat.table_exists(mt_name):
         mt = cat.load_table(mt_name)
+        # additive schema evolution for manifests written before packing
+        # coordinates existed: add the columns (metadata-only, old rows
+        # null-fill on read) so the overwrite below lands the full schema;
+        # the incremental path sees null coordinates and declines cleanly
+        for cname, ctype in (
+            ("bucket_id", T.IntegerType()),
+            ("shard", T.IntegerType()),
+            ("first_key", T.StringType()),
+            ("last_key", T.StringType()),
+        ):
+            if cname not in mt.schema.fieldNames():
+                mt.add_column(cname, ctype)
         same_config = mt.properties.get(config_key) == config_fp
         prev = mt.properties.get(stamp_key)
         if same_config and prev == str(src_id):

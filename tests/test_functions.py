@@ -828,6 +828,7 @@ def test_bpe_token_count_cross_engine(spark):
         "don't stop-me now... we're ready",
         "",
         "42nd 3.14 x+y=z",
+        "vertical\x0btab and form\x0cfeed",
         "naïve café ±3 €5",
         "a" * 500 + " b,c;d",
     ]

@@ -358,3 +358,55 @@ def test_export_job_incremental_fallbacks(spark, tmp_path):
     assert "mode" not in r2 and r2["skipped"] == 0
     left = t.refresh().scan(spark).count()
     assert r2["items"] == left
+
+
+def test_export_job_legacy_manifest_upgrades_and_falls_back(spark, tmp_path):
+    """A manifest written before packing coordinates existed (5-column
+    schema) must not crash the incremental branch: the job adds the
+    columns additively, sees null coordinates, declines incrementally and
+    re-exports in full — after which the manifest carries coordinates."""
+    from pyspark.sql import types as T
+
+    from ocel_ocpn_lakehouse_spark.core import TableSpec
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+
+    cat, t = _mk_images_table(spark, tmp_path, n=40, seed=21, files=2)
+    out = str(tmp_path / "o")
+    # probe run (same out_dir + args, separate manifest) only to learn the
+    # exact config fingerprint, so the legacy manifest takes the
+    # incremental branch rather than the config-change branch
+    export_webdataset_job(
+        spark, cat, "ocel.images", out, batch_size=8,
+        manifest_table="ocel.probe_manifest",
+    )
+    fp = cat.load_table("ocel.probe_manifest").properties["export-config-fingerprint"]
+    legacy_schema = T.StructType(
+        [
+            T.StructField("shard_name", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("n_items", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sha256", T.StringType(), False),
+        ]
+    )
+    lt = cat.create_table("ocel.images_export", legacy_schema, TableSpec())
+    entries = lt.write_data_files(
+        spark.createDataFrame(
+            [("old.tar", "/nowhere/old.tar", 8, 100, "00")], legacy_schema
+        )
+    )
+    lt.commit_append(
+        entries,
+        set_properties={
+            "export-source-snapshot-id": 1,
+            "export-config-fingerprint": fp,  # same args, different out_dir
+        },
+    )
+    # source moves so the stamp is stale; job must upgrade + fall back
+    _append_prefixed(spark, t, "z_", 8, 33)
+    r = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert "mode" not in r and r["items"] == 48
+    mt = cat.load_table("ocel.images_export").refresh()
+    rows = mt.scan(spark).collect()
+    assert sum(x["n_items"] for x in rows) == 48
+    assert all(x["bucket_id"] is not None and x["last_key"] is not None for x in rows)
