@@ -183,6 +183,25 @@ def image_maintenance_bench(spark, n_rows: int, n_files: int, cpus: int) -> dict
             "incr_files_untouched": incr.get("files_base_untouched"),
             "incr_scan_equivalence": 1.0 if incr_equiv else 0.0,
         }
+
+        # training export over the maintained layout: aspect-bucket →
+        # grouped pack → one tar per batch + committed manifest (the
+        # round-4 export surface, timed end to end)
+        from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+
+        exp_dir = os.path.join(wh1, "_export")
+        t0 = time.time()
+        exp = export_webdataset_job(
+            spark, cat, "bench.images", exp_dir, batch_size=64
+        )
+        exp_dt = time.time() - t0
+        incr_stats.update(
+            {
+                "export_sec": round(exp_dt, 3),
+                "export_images_per_sec": round(exp["items"] / exp_dt, 1),
+                "export_shards": exp["exported"],
+            }
+        )
     finally:
         shutil.rmtree(wh1, ignore_errors=True)
 
