@@ -434,16 +434,43 @@ def _incremental_export(
     )
     # the tail reads the PREVIOUS snapshot: the current head includes the
     # delta rows, which are already in to_pack via delta_b — scanning head
-    # here would double-count every appended row
-    prev_scan = (
-        t.scan(spark, snapshot_id=prev_id, prune=prune)
-        if prune
-        else t.scan(spark, snapshot_id=prev_id)
+    # here would double-count every appended row. Two-phase probe so the
+    # payload column is only read for tail FILES, never the corpus: (1) a
+    # NARROW (key, w, h) scan — columnar-cheap, no bytes — finds the tail
+    # keys (≤ #touched-buckets × batch_size rows by construction); (2) a
+    # full-width scan pruned to `key in tail_keys` reads only the files
+    # whose bounds/Blooms admit those keys (the merge.py probe shape).
+    def _tail_from(scan_df):
+        return (
+            assign_aspect_buckets(scan_df, buckets=buckets)
+            .join(F.broadcast(binfo), "bucket_id")
+            .filter(
+                F.col("_no_full")
+                | (F.col(key_col) > F.col("_boundary").cast(key_dtype))
+            )
+            .drop("_boundary", "_no_full")
+        )
+
+    narrow = t.scan(
+        spark, snapshot_id=prev_id, prune=prune or None, columns=[key_col, "w", "h"]
     )
-    tail = assign_aspect_buckets(prev_scan, buckets=buckets)
-    tail_rows = tail.join(F.broadcast(binfo), "bucket_id").filter(
-        F.col("_no_full") | (F.col(key_col) > F.col("_boundary").cast(key_dtype))
-    ).drop("_boundary", "_no_full")
+    tail_keys = [r[key_col] for r in _tail_from(narrow).select(key_col).collect()]
+    if len(tail_keys) <= 100_000:
+        if tail_keys:
+            probe = t.scan(
+                spark,
+                snapshot_id=prev_id,
+                prune=[PrunePredicate(key_col, "in", tail_keys)],
+            ).filter(F.col(key_col).isin(tail_keys))
+        else:
+            probe = t.scan(spark, snapshot_id=prev_id).limit(0)
+        tail_rows = _tail_from(probe)
+    else:
+        # a tail this large means an enormous buckets x batch_size product;
+        # one wide filtered pass is then the better plan
+        tail_rows = _tail_from(
+            t.scan(spark, snapshot_id=prev_id, prune=prune or None)
+        )
 
     cols = delta_b.columns
     to_pack = tail_rows.select(*cols).unionByName(delta_b.select(*cols))
