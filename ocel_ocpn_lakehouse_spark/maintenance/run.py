@@ -313,6 +313,28 @@ def main(argv=None) -> int:
                     keep_last=args.keep_last,
                 )
                 actions.append("expire")
+            # export freshness tick: if this table has a training-export
+            # manifest, a moved head means consumers read stale shards.
+            # Metadata-only detection (two property reads, no Spark job);
+            # with --export-dir the stale export refreshes in-line (the
+            # incremental path makes this cheap for append-only motion),
+            # otherwise staleness is surfaced for an operator to act on.
+            mt_name = f"{table_name}_export"
+            if cat.table_exists(mt_name):
+                cur = t.refresh().current_snapshot()
+                stamp = cat.load_table(mt_name).properties.get(
+                    "export-source-snapshot-id"
+                )
+                stale = cur is not None and stamp != str(cur.snapshot_id)
+                rep["export_stale"] = stale
+                if stale and args.export_dir:
+                    from ..images.export import export_webdataset_job
+
+                    rep["export"] = export_webdataset_job(
+                        spark, cat, table_name, args.export_dir,
+                        batch_size=args.batch_size, table=t.refresh(),
+                    )
+                    actions.append("export")
             # closing tick of the autonomous pass: reclaim files stranded
             # by crashed two-phase writes (publish happened, commit never
             # did). The grace window keeps concurrent in-flight publishes

@@ -410,3 +410,38 @@ def test_export_job_legacy_manifest_upgrades_and_falls_back(spark, tmp_path):
     rows = mt.scan(spark).collect()
     assert sum(x["n_items"] for x in rows) == 48
     assert all(x["bucket_id"] is not None and x["last_key"] is not None for x in rows)
+
+
+def test_auto_pass_refreshes_stale_export(spark, tmp_path, capsys):
+    import json
+
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+    from ocel_ocpn_lakehouse_spark.maintenance.run import main as cli_main
+
+    cat, t = _mk_images_table(spark, tmp_path, n=48, seed=31, files=2)
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "o")
+    export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    _append_prefixed(spark, t, "z_", 8, 41)
+
+    # auto WITHOUT --export-dir only surfaces staleness
+    rc = cli_main(["--warehouse", wh, "--table", "ocel.images", "--op", "auto"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["export_stale"] is True and "export" not in rep
+
+    # auto WITH --export-dir refreshes (incremental) and restamps
+    rc = cli_main([
+        "--warehouse", wh, "--table", "ocel.images", "--op", "auto",
+        "--export-dir", out, "--batch-size", "8",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "export" in rep["actions"]
+    assert rep["export"]["mode"] == "incremental"
+
+    rc = cli_main([
+        "--warehouse", wh, "--table", "ocel.images", "--op", "auto",
+        "--export-dir", out, "--batch-size", "8",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["export_stale"] is False and "export" not in rep["actions"]
