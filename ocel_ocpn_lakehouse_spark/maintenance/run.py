@@ -30,8 +30,13 @@ def main(argv=None) -> int:
             "health", "compact", "cluster", "cluster-incr", "rewrite", "expire",
             "quality", "full", "synth", "orphans", "delete", "rollback", "tag",
             "auto", "image-dedup", "branch", "publish", "replicate",
-            "rewrite-deletes", "export",
+            "rewrite-deletes", "export", "update",
         ],
+    )
+    ap.add_argument(
+        "--set", action="append", default=None, metavar="COL=EXPR",
+        help="--op update: SET clause (repeatable), e.g. "
+             "--set \"caption=regexp_replace(caption, '[0-9]+', '#')\"",
     )
     ap.add_argument(
         "--export-dir", default=None,
@@ -374,6 +379,25 @@ def main(argv=None) -> int:
 
             rep["delete"] = delete_where(
                 spark, t, args.where, sys_tables=sys_tables, table_name=table_name
+            )
+
+        if args.op == "update":
+            if not args.where or not args.set:
+                raise SystemExit("--op update requires --where and --set COL=EXPR")
+            from .transform import transform_where
+
+            exprs = {}
+            for s in args.set:
+                col, _, ex = s.partition("=")
+                if not col or not ex:
+                    raise SystemExit(f"--set must be COL=EXPR, got {s!r}")
+                exprs[col.strip()] = ex
+            rep["update"] = run_with_conflict_retry(
+                lambda: transform_where(
+                    spark, t.refresh(), args.where, exprs,
+                    sys_tables=sys_tables, table_name=table_name,
+                ),
+                t, retries=args.retries,
             )
 
         if args.op == "image-dedup":
