@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+MANUAL_MARKER = "<!-- MANUAL AUDITS — preserved by tools/plan_audit.py -->"
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -153,8 +156,18 @@ def main() -> int:
         mark = "PASS" if passed else "FAIL"
         print(f"{mark} {name}")
         lines.append(f"## {mark}: {name}\n\n```\n{plan.strip()[:2500]}\n```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    # hand-written audit sections live below the marker and survive reruns
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    manual = ""
+    if os.path.isfile(path):
+        old = open(path).read()
+        if MANUAL_MARKER in old:
+            manual = old[old.index(MANUAL_MARKER):]
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        f.write("\n" + (manual or MANUAL_MARKER + "\n"))
     return 0 if ok else 1
 
 
