@@ -117,6 +117,11 @@ def delete_where(
     snap = table.current_snapshot()
     if snap is None:
         return {"status": "empty-table"}
+    if prune is None and isinstance(condition, str):
+        # simple conjunctions prune candidates at the manifest for free
+        from .predicates import derive_prune_predicates
+
+        prune = derive_prune_predicates(condition)
     entries = table.live_entries()
     if prune:
         entries = [e for e in entries if table._entry_matches(e, prune)]

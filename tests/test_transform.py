@@ -116,6 +116,10 @@ def test_transform_no_match_and_cli(spark, tmp_path, capsys):
 
     cat, t = _table(spark, tmp_path, n=40, files=2)
     rep = transform_where(spark, t, "w = -1", {"caption": "'x'"})
+    # bounds exclude -1 everywhere -> pruned before any scan; a predicate
+    # pruning can't decide (e.g. on a function) reports no-matching-rows
+    assert rep["status"] == "no-candidate-files" and rep["updated_rows"] == 0
+    rep = transform_where(spark, t, "w * 0 = -1", {"caption": "'x'"})
     assert rep["status"] == "no-matching-rows" and rep["updated_rows"] == 0
 
     rc = cli_main([
@@ -131,3 +135,52 @@ def test_transform_no_match_and_cli(spark, tmp_path, capsys):
         r["caption"].endswith("!") == (r["fmt"] == "png")
         for r in t.scan(spark).collect()
     )
+
+
+def test_derive_prune_predicates_grammar():
+    from ocel_ocpn_lakehouse_spark.maintenance.predicates import (
+        derive_prune_predicates as d,
+    )
+
+    assert [(p.column, p.op, p.value) for p in d("w = 32")] == [("w", "=", 32)]
+    assert [(p.column, p.op, p.value) for p in d("w == 32 AND fmt = 'png'")] == [
+        ("w", "=", 32),
+        ("fmt", "=", "png"),
+    ]
+    assert [(p.column, p.op, p.value) for p in d("h >= 1.5")] == [("h", ">=", 1.5)]
+    assert [(p.column, p.op, p.value) for p in d("fmt in ('png', 'jpeg')")] == [
+        ("fmt", "in", ["png", "jpeg"])
+    ]
+    # anything non-trivial derives NOTHING (conservative whole-or-nothing)
+    for cond in (
+        "w = 32 OR h = 16",
+        "w != 32",
+        "upper(fmt) = 'PNG'",
+        "w = h",
+        "not w = 32",
+        "caption = 'fish and chips'",
+        "w = 32 AND (h = 16 OR h = 32)",
+        "image_id in (select 1)",
+    ):
+        assert d(cond) == [], cond
+
+
+def test_update_and_delete_prune_candidates_from_condition(spark, tmp_path):
+    from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    src = synth_images_df(spark, 200, seed=5)
+    # two appends with disjoint w ranges -> tight per-file bounds
+    t.append(src.filter("w <= 32"), num_files=2)
+    t.append(src.filter("w > 32"), num_files=2)
+    total = len(t.live_entries())
+    rep = transform_where(spark, t, "w = 16", {"caption": "upper(caption)"})
+    assert rep["status"] == "ok"
+    assert rep["candidate_files"] < total  # manifest bounds pruned candidates
+    t.refresh()
+    rep2 = delete_where(spark, t, "w = 128")
+    assert rep2["candidate_files"] < len(t.live_entries()) + 1
+    t.refresh()
+    assert t.scan(spark).filter("w = 128").count() == 0
+    assert t.scan(spark).filter("w = 16").count() > 0
