@@ -309,6 +309,32 @@ def export_webdataset(
     )
 
 
+def export_config_fingerprint(
+    out_dir: str,
+    *,
+    key_col: str = "image_id",
+    batch_size: int = 64,
+    buckets: Iterable[tuple[int, int]] = DEFAULT_BUCKETS,
+    members: Iterable[tuple[str, str]] = (("bytes", "@fmt"), ("caption", "txt")),
+) -> str:
+    """Fingerprint of every packing-relevant export setting — the second
+    stamp on the manifest table. Exposed so callers (the auto-maintenance
+    freshness tick) can detect a config mismatch WITHOUT triggering the
+    full re-export + tar sweep a mismatched job run would perform."""
+    return hashlib.md5(
+        json.dumps(
+            {
+                "key_col": key_col,
+                "batch_size": int(batch_size),
+                "buckets": [list(map(int, b)) for b in buckets],
+                "members": [list(m) for m in members],
+                "out_dir": os.path.abspath(out_dir),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+
+
 def _key_caster(dtype):
     """Parse a manifest-stored string key back to the key column's python
     type for driver-side comparisons (O(#buckets) values only). Returns
@@ -457,11 +483,19 @@ def _incremental_export(
     tail_keys = [r[key_col] for r in _tail_from(narrow).select(key_col).collect()]
     if len(tail_keys) <= 100_000:
         if tail_keys:
+            # file pruning takes the driver-side key list (prepared probe:
+            # bisect + vectorized Bloom); the ROW filter is a broadcast
+            # semi-join, not isin() — 100k literals would bloat one
+            # Catalyst In-expression to a multi-MB plan
+            keys_df = spark.createDataFrame(
+                [(k,) for k in tail_keys],
+                T.StructType([T.StructField(key_col, t.schema[key_col].dataType)]),
+            )
             probe = t.scan(
                 spark,
                 snapshot_id=prev_id,
                 prune=[PrunePredicate(key_col, "in", tail_keys)],
-            ).filter(F.col(key_col).isin(tail_keys))
+            ).join(F.broadcast(keys_df), key_col, "left_semi")
         else:
             probe = t.scan(spark, snapshot_id=prev_id).limit(0)
         tail_rows = _tail_from(probe)
@@ -559,18 +593,10 @@ def export_webdataset_job(
     stamp_key = "export-source-snapshot-id"
     config_key = "export-config-fingerprint"
     prefix = table_name.replace(".", "_") + "-"
-    config_fp = hashlib.md5(
-        json.dumps(
-            {
-                "key_col": key_col,
-                "batch_size": int(batch_size),
-                "buckets": [list(map(int, b)) for b in buckets],
-                "members": [list(m) for m in members],
-                "out_dir": os.path.abspath(out_dir),
-            },
-            sort_keys=True,
-        ).encode()
-    ).hexdigest()
+    config_fp = export_config_fingerprint(
+        out_dir, key_col=key_col, batch_size=batch_size, buckets=buckets,
+        members=members,
+    )
 
     stamps = {stamp_key: src_id, config_key: config_fp}
     done: set[str] = set()

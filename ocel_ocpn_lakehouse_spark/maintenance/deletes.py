@@ -121,7 +121,7 @@ def delete_where(
         # simple conjunctions prune candidates at the manifest for free
         from .predicates import derive_prune_predicates
 
-        prune = derive_prune_predicates(condition)
+        prune = derive_prune_predicates(condition, table.schema)
     entries = table.live_entries()
     if prune:
         entries = [e for e in entries if table._entry_matches(e, prune)]

@@ -40,15 +40,39 @@ def _parse_literal(tok: str):
     return float(tok) if "." in tok else int(tok)
 
 
-def derive_prune_predicates(condition: str) -> list[PrunePredicate]:
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+
+
+def _literal_matches_type(value, simple_type: str) -> bool:
+    """Strict literal/column type agreement — the Bloom probe hashes the
+    PYTHON value, so ``w = 32.0`` against an int column (or ``h = 1``
+    against a double) would hash a different representation than the one
+    the file's filter was built from and falsely prune. Bounds on
+    timestamps/dates are stored as isoformat strings while SQL literals
+    use a space separator, so temporal (and every other exotic) column
+    type derives nothing at all."""
+    if simple_type in _INT_TYPES:
+        return type(value) is int
+    if simple_type in _FLOAT_TYPES:
+        return type(value) is float
+    if simple_type == "string":
+        return type(value) is str
+    return False
+
+
+def derive_prune_predicates(condition: str, schema=None) -> list[PrunePredicate]:
     """PrunePredicates equivalent to ``condition`` when it is a pure
     conjunction of simple comparisons; [] otherwise (never partial — a
     half-parsed conjunction would still be sound, but refusing mixed
-    shapes keeps the contract trivially auditable)."""
-    if not isinstance(condition, str):
+    shapes keeps the contract trivially auditable). ``schema`` (the
+    table's StructType) gates every term on strict literal/column type
+    agreement; without a schema nothing derives."""
+    if not isinstance(condition, str) or schema is None:
         return []
     if re.search(r"\(\s*[Ss][Ee][Ll][Ee][Cc][Tt]\b", condition):
         return []
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
     # a parenthesized boolean structure (OR groups etc.) fails _TERM
     # matching below; only IN-lists legitimately carry parentheses
     preds: list[PrunePredicate] = []
@@ -56,14 +80,17 @@ def derive_prune_predicates(condition: str) -> list[PrunePredicate]:
         m = _TERM.match(raw)
         if m:
             col, op, lit = m.groups()
-            preds.append(
-                PrunePredicate(col, "=" if op == "==" else op, _parse_literal(lit))
-            )
+            val = _parse_literal(lit)
+            if not _literal_matches_type(val, types.get(col, "")):
+                return []
+            preds.append(PrunePredicate(col, "=" if op == "==" else op, val))
             continue
         m = _IN_TERM.match(raw)
         if m:
             col, lits = m.groups()
             vals = [_parse_literal(x.group(0)) for x in _LIT_SPLIT.finditer(lits)]
+            if not all(_literal_matches_type(v, types.get(col, "")) for v in vals):
+                return []
             preds.append(PrunePredicate(col, "in", vals))
             continue
         return []  # any unrecognized term poisons the whole derivation

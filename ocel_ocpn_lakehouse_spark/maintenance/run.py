@@ -327,19 +327,34 @@ def main(argv=None) -> int:
             mt_name = f"{table_name}_export"
             if cat.table_exists(mt_name):
                 cur = t.refresh().current_snapshot()
-                stamp = cat.load_table(mt_name).properties.get(
-                    "export-source-snapshot-id"
-                )
+                props = cat.load_table(mt_name).properties
+                stamp = props.get("export-source-snapshot-id")
                 stale = cur is not None and stamp != str(cur.snapshot_id)
                 rep["export_stale"] = stale
                 if stale and args.export_dir:
-                    from ..images.export import export_webdataset_job
-
-                    rep["export"] = export_webdataset_job(
-                        spark, cat, table_name, args.export_dir,
-                        batch_size=args.batch_size, table=t.refresh(),
+                    from ..images.export import (
+                        export_config_fingerprint,
+                        export_webdataset_job,
                     )
-                    actions.append("export")
+
+                    # config guard: the auto tick only refreshes when ITS
+                    # args reproduce the manifest's recorded config — a
+                    # mismatch (e.g. the original export used a different
+                    # batch size) would silently repack and sweep the
+                    # whole directory instead of the cheap incremental
+                    # refresh this tick promises. Surface it for an
+                    # explicit --op export decision instead.
+                    want = export_config_fingerprint(
+                        args.export_dir, batch_size=args.batch_size
+                    )
+                    if props.get("export-config-fingerprint") == want:
+                        rep["export"] = export_webdataset_job(
+                            spark, cat, table_name, args.export_dir,
+                            batch_size=args.batch_size, table=t.refresh(),
+                        )
+                        actions.append("export")
+                    else:
+                        rep["export_config_mismatch"] = True
             # closing tick of the autonomous pass: reclaim files stranded
             # by crashed two-phase writes (publish happened, commit never
             # did). The grace window keeps concurrent in-flight publishes

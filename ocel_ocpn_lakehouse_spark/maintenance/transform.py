@@ -18,9 +18,10 @@ Shape (the 100x question):
            vectors are ANTI-JOINED out (the rewrite absorbs them, like
            compaction), the SET expressions evaluate inside whole-stage
            codegen gated on the predicate (non-matching rows in a touched
-           file pass through unchanged), and one applyInPandas task per
+           file pass through unchanged), and one applyInArrow task per
            file writes the replacement in original row order with fresh
-           footer stats + Blooms.
+           footer stats + Blooms (Arrow-native: no pandas int64→float64
+           round-trip anywhere near the payload).
   commit   ``commit_replace`` with ``operation='update'`` (NOT the
            row-preserving 'replace': the changelog must emit the old rows
            as deletes and the new as inserts so CDC consumers see the
@@ -69,7 +70,7 @@ def transform_where(
         # simple conjunctions prune candidates at the manifest for free
         from .predicates import derive_prune_predicates
 
-        prune = derive_prune_predicates(condition)
+        prune = derive_prune_predicates(condition, table.schema)
     entries = table.live_entries()
     if prune:
         entries = [e for e in entries if table._entry_matches(e, prune)]
@@ -82,21 +83,39 @@ def transform_where(
     bad = sorted(set(set_exprs) - set(cols))
     if bad:
         raise ValueError(f"SET columns not in table schema: {bad}")
+    # a partition-source SET would leave manifest partition values (and
+    # the Hive directory) describing the OLD value: every later
+    # partition-pruned read (delete_keys buckets, _p_ predicates) would
+    # silently miss the row. Moving a row across partitions is a
+    # DELETE + INSERT (MERGE), not an in-place rewrite.
+    part_sources = {f.source for f in table.partition_spec.fields}
+    bad = sorted(set(set_exprs) & part_sources)
+    if bad:
+        raise ValueError(
+            f"SET touches partition-source columns {bad} — an in-place "
+            "rewrite cannot move rows across partitions; use MERGE "
+            "(delete + insert) instead"
+        )
     prefix = f"file:{root}{os.sep}"
     cand_paths = [os.path.join(root, e.path) for e in entries]
 
     # phase 1: touched-file discovery — Catalyst column-prunes this scan
-    # to the predicate's columns + file_path
-    touched_fps = {
-        r["_fp"]
-        for r in spark.read.schema(schema)
+    # to the predicate's columns + metadata. Tombstoned rows are excluded
+    # HERE too: a file whose only matches are already-deleted rows must
+    # not be rewritten (zero real updates, phantom CDC delete+insert
+    # pairs for every live row it holds)
+    p1 = (
+        spark.read.schema(schema)
         .parquet(*cand_paths)
-        .select(F.col("_metadata.file_path").alias("_fp"), *cols)
+        .select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *cols,
+        )
         .filter(cond)
-        .select("_fp")
-        .distinct()
-        .collect()
-    }
+    )
+    p1 = exclude_existing_tombstones(spark, table, entries, p1, prefix)
+    touched_fps = {r["_fp"] for r in p1.select("_fp").distinct().collect()}
     touched = [e for e in entries if prefix + e.path.replace(os.sep, "/") in touched_fps
                or f"{prefix}{e.path}" in touched_fps]
     if not touched:
@@ -147,24 +166,40 @@ def transform_where(
         fp_to_idx[prefix + e.path.replace(os.sep, "/")] = i
     idx_b = spark.sparkContext.broadcast(fp_to_idx)
 
-    def _write_file(pdf):
-        import pandas as pd
+    def _write_file(tbl):
+        # applyInArrow, NOT applyInPandas: pandas turns an int64 column
+        # holding a null into float64 and silently rounds values > 2^53
+        # (a 64-bit phash) even in rows the predicate never matched —
+        # Arrow-native keeps every value bit-exact end to end
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         pa.set_cpu_count(1)
-        pdf = pdf.sort_values("_pos", kind="mergesort")
-        fidx = idx_b.value[str(pdf.iloc[0]["_fp"])]
-        n_hit = int(pdf["_hit"].fillna(False).sum())
-        tbl = pa.Table.from_pandas(
-            pdf[list(cols)], schema=arrow_schema, preserve_index=False
+        tbl = tbl.sort_by([("_pos", "ascending")])
+        fidx = idx_b.value[tbl["_fp"][0].as_py()]
+        n_hit = int(
+            pc.sum(pc.fill_null(tbl["_hit"], False).cast(pa.int64())).as_py() or 0
         )
+        data = tbl.select(list(cols)).cast(arrow_schema)
         dest = os.path.join(staging, f"u{fidx}.parquet")
         tmp = f"{dest}.{os.getpid()}.inprogress"
-        pq.write_table(tbl, tmp, compression=codec)
+        pq.write_table(data, tmp, compression=codec)
         os.rename(tmp, dest)
         st = mf.footer_stats(dest, stats_cols)
-        return pd.DataFrame(
+        out_schema = pa.schema(
+            [
+                ("fidx", pa.int32()),
+                ("updated", pa.int64()),
+                ("size_bytes", pa.int64()),
+                ("record_count", pa.int64()),
+                ("lower_bounds", pa.string()),
+                ("upper_bounds", pa.string()),
+                ("null_counts", pa.string()),
+                ("blooms", pa.string()),
+            ]
+        )
+        return pa.Table.from_pylist(
             [
                 {
                     "fidx": fidx,
@@ -174,14 +209,15 @@ def transform_where(
                     "lower_bounds": json.dumps(st["lower_bounds"], default=str),
                     "upper_bounds": json.dumps(st["upper_bounds"], default=str),
                     "null_counts": json.dumps(st["null_counts"]),
-                    "blooms": json.dumps(mf.build_blooms(tbl, bloom_cols)),
+                    "blooms": json.dumps(mf.build_blooms(data, bloom_cols)),
                 }
-            ]
+            ],
+            schema=out_schema,
         )
 
     out_rows = (
         upd.groupBy("_fp")
-        .applyInPandas(
+        .applyInArrow(
             _write_file,
             "fidx int, updated long, size_bytes long, record_count long, "
             "lower_bounds string, upper_bounds string, null_counts string, "

@@ -138,16 +138,31 @@ def test_transform_no_match_and_cli(spark, tmp_path, capsys):
 
 
 def test_derive_prune_predicates_grammar():
+    from pyspark.sql import types as T
+
     from ocel_ocpn_lakehouse_spark.maintenance.predicates import (
-        derive_prune_predicates as d,
+        derive_prune_predicates,
     )
+
+    schema = T.StructType(
+        list(IMAGE_SCHEMA.fields)
+        + [
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+
+    def d(cond):
+        return derive_prune_predicates(cond, schema)
 
     assert [(p.column, p.op, p.value) for p in d("w = 32")] == [("w", "=", 32)]
     assert [(p.column, p.op, p.value) for p in d("w == 32 AND fmt = 'png'")] == [
         ("w", "=", 32),
         ("fmt", "=", "png"),
     ]
-    assert [(p.column, p.op, p.value) for p in d("h >= 1.5")] == [("h", ">=", 1.5)]
+    assert [(p.column, p.op, p.value) for p in d("score >= 1.5")] == [
+        ("score", ">=", 1.5)
+    ]
     assert [(p.column, p.op, p.value) for p in d("fmt in ('png', 'jpeg')")] == [
         ("fmt", "in", ["png", "jpeg"])
     ]
@@ -161,8 +176,18 @@ def test_derive_prune_predicates_grammar():
         "caption = 'fish and chips'",
         "w = 32 AND (h = 16 OR h = 32)",
         "image_id in (select 1)",
+        # strict literal/column typing: float literal on int column, int on
+        # double, int on string, and ANY temporal column (isoformat bounds
+        # vs space-separated SQL literals) poison the derivation
+        "w = 32.0",
+        "score = 1",
+        "fmt = 1",
+        "ts = '2024-03-05 12:00:00'",
+        "w = 32 AND ts > '2024-01-01 00:00:00'",
+        "nosuchcol = 1",
     ):
         assert d(cond) == [], cond
+    assert derive_prune_predicates("w = 32", None) == []
 
 
 def test_update_and_delete_prune_candidates_from_condition(spark, tmp_path):
@@ -184,3 +209,55 @@ def test_update_and_delete_prune_candidates_from_condition(spark, tmp_path):
     t.refresh()
     assert t.scan(spark).filter("w = 128").count() == 0
     assert t.scan(spark).filter("w = 16").count() > 0
+
+
+def test_transform_rejects_partition_source_set(spark, tmp_path):
+    import pytest as _pytest
+
+    cat, t = _table(spark, tmp_path, n=20, files=1)
+    with _pytest.raises(ValueError, match="partition-source"):
+        transform_where(spark, t, "w = 16", {"image_id": "concat('x', image_id)"})
+
+
+def test_transform_dv_only_matches_touch_nothing(spark, tmp_path):
+    """A file whose only predicate matches are already-tombstoned rows is
+    NOT rewritten (no wasted I/O, no phantom changelog churn)."""
+    from ocel_ocpn_lakehouse_spark.maintenance.deletes import delete_where
+
+    cat, t = _table(spark, tmp_path, n=80, files=4)
+    delete_where(spark, t, "w = 16")
+    t.refresh()
+    base = t.current_snapshot().snapshot_id
+    rep = transform_where(spark, t, "w = 16", {"caption": "'gone'"})
+    assert rep["updated_rows"] == 0
+    assert rep["status"] in ("no-matching-rows", "no-candidate-files")
+    t.refresh()
+    assert t.current_snapshot().snapshot_id == base  # no commit at all
+
+
+def test_transform_preserves_huge_bigints_next_to_nulls(spark, tmp_path):
+    """Arrow-native writer: an int64 column holding a null must not send
+    the file through pandas float64 (which rounds values above 2^53)."""
+    from pyspark.sql import types as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("big", T.LongType(), True),
+            T.StructField("txt", T.StringType(), True),
+        ]
+    )
+    t = cat.create_table("ocel.bigs", schema, TableSpec())
+    huge = (1 << 62) + 12345  # far beyond float64's 2^53 integer range
+    t.append(
+        spark.createDataFrame(
+            [(1, huge, "a"), (2, None, "b"), (3, huge + 1, "c")], schema
+        ),
+        num_files=1,
+    )
+    rep = transform_where(spark, t, "id = 2", {"txt": "'B'"})
+    assert rep["status"] == "ok" and rep["updated_rows"] == 1
+    t.refresh()
+    got = {r["id"]: (r["big"], r["txt"]) for r in t.scan(spark).collect()}
+    assert got == {1: (huge, "a"), 2: (None, "B"), 3: (huge + 1, "c")}
