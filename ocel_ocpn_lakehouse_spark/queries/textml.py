@@ -327,7 +327,7 @@ def q33_image_maintenance(spark, sf_dir):
     )
 
 
-# --- q43: incremental MV refresh over snapshot lineage (engine-native → rows-only) -------
+# --- q43: incremental MV refresh over snapshot lineage (oracle: full aggregate) ----------
 
 
 def q43_incremental_mv(spark, sf_dir):
@@ -337,28 +337,32 @@ def q43_incremental_mv(spark, sf_dir):
     row-preserving REPLACE snapshots from compaction) and merges them into
     the existing aggregate. Cost ∝ delta bytes, not table size — at 10^12
     rows a full MV rebuild rescans the table, this path rescans one
-    append. Returns one row per refresh with its mode and a final
-    self-check row comparing the incrementally-maintained MV against a
-    from-scratch rebuild (engine-native table format → no SQL oracle)."""
+    append.
+
+    The base table is the sf_dir documents corpus loaded in two appends
+    (split on doc_id parity) with a compaction REPLACE snapshot between
+    them, so refresh #2 MUST take the incremental path (raises otherwise —
+    a broken incremental scan cannot silently fall back to full rebuild
+    and still go green). The RETURNED relation is the final
+    incrementally-maintained MV content, which the DuckDB oracle checks
+    against a from-scratch aggregate over the same parquet."""
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
-    from ..images.synth import IMAGE_SCHEMA, synth_images_df
     from ..maintenance.checkpoint import SystemTables
     from ..maintenance.compact import execute_compaction
     from ..mviews import MaterializedViewManager, MVDefinition
 
+    docs = _t(spark, sf_dir, "documents")
     wh = tempfile.mkdtemp(prefix="incrmv_")
     cat = Catalog(wh)
     t = cat.create_table(
-        "ocel.images",
-        IMAGE_SCHEMA,
+        "ocel.docs",
+        docs.schema,
         TableSpec(
-            partition_spec=PartitionSpec.bucket("image_id", 2),
-            sort_order=SortOrder.by("phash"),
+            partition_spec=PartitionSpec.bucket("doc_id", 2),
+            sort_order=SortOrder.by("n_chars"),
             properties={
                 "write.target-file-size-bytes": str(16 * 1024 * 1024),
                 "compact.small-file-bytes": str(8 * 1024 * 1024),
@@ -368,53 +372,56 @@ def q43_incremental_mv(spark, sf_dir):
     st = SystemTables(wh)
 
     def build(s, base):
-        return base.groupBy("fmt").agg(
-            F.count("*").alias("n"),
-            F.sum("w").alias("sum_w"),
-            F.min("phash").alias("min_phash"),
-            F.max("phash").alias("max_phash"),
+        return base.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
         )
 
     def incr_merge(s, mv_rows, delta):
         return (
             mv_rows.unionByName(build(s, delta))
-            .groupBy("fmt")
+            .groupBy("lang")
             .agg(
-                F.sum("n").alias("n"),
-                F.sum("sum_w").alias("sum_w"),
-                F.min("min_phash").alias("min_phash"),
-                F.max("max_phash").alias("max_phash"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_chars").alias("sum_chars"),
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
             )
         )
 
     mgr = MaterializedViewManager(cat)
-    mgr.register(
-        MVDefinition("ocel.fmt_stats", "ocel.images", build, incr_merge=incr_merge)
+    mgr.register(MVDefinition("ocel.lang_stats", "ocel.docs", build, incr_merge=incr_merge))
+
+    t.append(docs.filter(F.pmod("doc_id", F.lit(2)) == 0), num_files=4)
+    r1 = mgr.refresh(spark, "ocel.lang_stats")
+    if r1["status"] != "refreshed":
+        raise RuntimeError(f"q43: first refresh should be a full build, got {r1['status']}")
+    execute_compaction(spark, t.refresh(), st, "ocel.docs")  # REPLACE snapshot in range
+    t.refresh().append(docs.filter(F.pmod("doc_id", F.lit(2)) == 1), num_files=4)
+    r2 = mgr.refresh(spark, "ocel.lang_stats")
+    if r2["status"] != "refreshed-incremental":
+        raise RuntimeError(f"q43: second refresh must be incremental, got {r2['status']}")
+
+    mv = cat.load_table("ocel.lang_stats").scan(spark).select(
+        "lang", "n_docs", "sum_chars", "min_doc", "max_doc"
     )
-
-    def batch(n, seed):
-        df = synth_images_df(spark, n_rows=n, seed=seed)
-        return df.withColumn("image_id", F.concat(F.lit(f"s{seed}_"), "image_id"))
-
-    rows = []
-    t.append(batch(64, 1), num_files=4)
-    r = mgr.refresh(spark, "ocel.fmt_stats")
-    rows.append(("refresh_1", r["status"], int(r["status"] == "refreshed")))
-    t.append(batch(32, 2), num_files=4)
-    execute_compaction(spark, t.refresh(), st, "ocel.images")  # replace snapshot in range
-    t.append(batch(16, 3), num_files=2)
-    r = mgr.refresh(spark, "ocel.fmt_stats")
-    rows.append(("refresh_2", r["status"], int(r["status"] == "refreshed-incremental")))
-
-    full = build(spark, cat.load_table("ocel.images").scan(spark))
-    mv = cat.load_table("ocel.fmt_stats").scan(spark)
-    same = sorted(map(tuple, mv.collect())) == sorted(map(tuple, full.collect()))
-    rows.append(("matches_full_rebuild", "check", int(same)))
+    out = spark.createDataFrame(
+        mv.collect(), "lang string, n_docs long, sum_chars long, min_doc long, max_doc long"
+    )
     shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(rows, "step string, status string, ok int")
+    return out
 
 
-# --- q44: merge-on-read DELETE via positional delete vectors (engine-native) -------------
+Q43_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
+# --- q44: merge-on-read DELETE via positional delete vectors (oracle: NOT pred) ----------
 
 
 def q44_mor_delete(spark, sf_dir):
@@ -422,66 +429,70 @@ def q44_mor_delete(spark, sf_dir):
     a positional delete vector (one parquet of (file, pos) tombstones) and
     commits metadata only — zero data bytes rewritten. Scans anti-join the
     tombstones; compaction absorbs them so rewritten files come out clean.
-    Self-checks in the result rows: the MoR scan equals the predicate
-    filter computed BEFORE the delete, the delete commit rewrote no data
-    file, and the post-compaction table is clean and byte-equivalent
-    (engine-native table format → no SQL oracle)."""
+
+    The table is the sf_dir documents corpus loaded into the engine; the
+    RETURNED relation is the post-delete MoR scan (then re-verified after
+    compaction absorbs the tombstones), which the DuckDB oracle checks
+    against `SELECT … WHERE NOT <pred>` on the same parquet. The
+    engine-native invariants stay as hard asserts: the delete commit must
+    rewrite zero data files, footer live-counts must match exactly, and
+    the post-compaction rowset must be tombstone-free and identical."""
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from ..core import Catalog, PartitionSpec, SortOrder, TableSpec
-    from ..images.synth import IMAGE_SCHEMA, synth_images_df
     from ..maintenance.checkpoint import SystemTables
     from ..maintenance.compact import execute_compaction
     from ..maintenance.deletes import delete_where
 
+    docs = _t(spark, sf_dir, "documents")
     wh = tempfile.mkdtemp(prefix="mordel_")
     cat = Catalog(wh)
     t = cat.create_table(
-        "ocel.images",
-        IMAGE_SCHEMA,
+        "ocel.docs",
+        docs.schema,
         TableSpec(
-            partition_spec=PartitionSpec.bucket("image_id", 2),
-            sort_order=SortOrder.by("phash"),
+            partition_spec=PartitionSpec.bucket("doc_id", 2),
+            sort_order=SortOrder.by("n_chars"),
             properties={
                 "write.target-file-size-bytes": str(1024 * 1024),
                 "compact.small-file-bytes": str(512 * 1024),
             },
         ),
     )
-    t.append(synth_images_df(spark, n_rows=128, seed=5), num_files=6, distribution="fragment")
+    t.append(docs, num_files=6, distribution="fragment")
     st = SystemTables(wh)
-
-    expected = {
-        r["image_id"] for r in t.scan(spark).filter("w <> 32").select("image_id").collect()
-    }
     files_before = {e.path for e in t.live_entries()}
 
-    r = delete_where(spark, t, "w = 32", sys_tables=st, table_name="ocel.images")
+    r = delete_where(spark, t, "n_chars < 200", sys_tables=st, table_name="ocel.docs")
     t = t.refresh()
-    got = {x["image_id"] for x in t.scan(spark).select("image_id").collect()}
     files_after = {e.path for e in t.live_entries()}
+    if files_after != files_before:
+        raise RuntimeError("q44: MoR delete must rewrite zero data files")
+    visible = t.scan(spark).select("doc_id", "lang", "source", "n_chars").collect()
+    if sum(e.live_count for e in t.live_entries()) != len(visible):
+        raise RuntimeError("q44: manifest live-counts disagree with the MoR scan")
+    if r["deleted_rows"] + len(visible) != docs.count():
+        raise RuntimeError("q44: deleted + visible != total rows")
 
-    rows = [
-        ("delete_rows", r["deleted_rows"], int(got == expected)),
-        ("zero_data_rewrite", len(files_after), int(files_after == files_before)),
-        (
-            "live_counts_exact",
-            sum(e.live_count for e in t.live_entries()),
-            int(sum(e.live_count for e in t.live_entries()) == len(expected)),
-        ),
-    ]
-
-    execute_compaction(spark, t, st, "ocel.images")
+    execute_compaction(spark, t, st, "ocel.docs")
     t = t.refresh()
-    clean = all(not e.deletes for e in t.live_entries())
-    got2 = {x["image_id"] for x in t.scan(spark).select("image_id").collect()}
-    rows.append(("compaction_absorbs", len(t.live_entries()), int(clean and got2 == expected)))
+    if any(e.deletes for e in t.live_entries()):
+        raise RuntimeError("q44: compaction must absorb all delete vectors")
+    after = t.scan(spark).select("doc_id", "lang", "source", "n_chars").collect()
+    if sorted(map(tuple, after)) != sorted(map(tuple, visible)):
+        raise RuntimeError("q44: post-compaction rowset differs from MoR rowset")
 
     shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(rows, "step string, n long, ok int")
+    return spark.createDataFrame(
+        visible, "doc_id long, lang string, source string, n_chars long"
+    )
+
+
+Q44_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE NOT (n_chars < 200)
+"""
 
 
 # --- q45: deterministic train/val/test split (oracle-checked cross-engine) ---------------
@@ -988,6 +999,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q43_incremental_mv": Q43_SQL,
+    "q44_mor_delete": Q44_SQL,
     "q52_hamming_neardup": Q52_SQL,
     "q39_embedding_neardup": Q39_SQL,
     "q23_dedup_exact": Q23_SQL,
