@@ -43,6 +43,7 @@ import io
 import json
 import math
 import os
+import shutil
 import tarfile
 import uuid
 from typing import Iterable
@@ -216,6 +217,7 @@ def export_webdataset(
     key_col: str = "image_id",
     shard_cols: list[str] = ("bucket_id", "shard"),
     name_prefix: str = "",
+    batch_col: str | None = None,
 ) -> DataFrame:
     """Write one WebDataset-style tar per distinct ``shard_cols`` value and
     return the manifest DataFrame (shard_name, path, n_items, n_bytes,
@@ -226,6 +228,14 @@ def export_webdataset(
     anything else canonical JSON. A precomputed ``_shard_name`` column, if
     present, wins over (shard_cols, name_prefix) — callers that filter on
     shard names (resume) compute the name once and pass it through.
+
+    ``batch_col`` (optional) decouples the TAR grouping from the training
+    batch: when set, members are named ``{batch:09d}/{key}.{ext}`` — the
+    WebDataset sample key carries its training-batch id as a directory
+    prefix, so a loader regroups exact batches no matter how many batches
+    share one tar. Members sort by (batch, key); with per-bucket batches
+    assigned in key order that equals key order, so the determinism
+    contract is unchanged.
 
     Determinism contract: members sort by key within the tar; tar metadata
     (mtime/uid/gid/mode/uname) is zeroed; the shard name is a pure function
@@ -251,11 +261,17 @@ def export_webdataset(
         and {"bucket_id", "shard"}.issubset(df.columns)
         else []
     )
-    needed = list(dict.fromkeys([key_col, *data_cols, *ext_cols, *coords]))
+    needed = list(
+        dict.fromkeys(
+            [key_col, *data_cols, *ext_cols, *coords]
+            + ([batch_col] if batch_col else [])
+        )
+    )
     mem_spec = list(members)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col, kind="mergesort")
+        sort_cols = [batch_col, key_col] if batch_col else [key_col]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         shard_name = str(pdf.iloc[0]["_shard_name"])
         path = os.path.join(out_dir, shard_name)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -264,6 +280,8 @@ def export_webdataset(
             with tarfile.open(fileobj=hf, mode="w|") as tf:
                 for _, row in pdf.iterrows():
                     key = str(row[key_col])
+                    if batch_col:
+                        key = f"{int(row[batch_col]):09d}/{key}"
                     for col, ext in mem_spec:
                         actual_ext = str(row[ext[1:]]) if ext.startswith("@") else ext
                         payload = _member_bytes(row[col])
@@ -316,23 +334,24 @@ def export_config_fingerprint(
     batch_size: int = 64,
     buckets: Iterable[tuple[int, int]] = DEFAULT_BUCKETS,
     members: Iterable[tuple[str, str]] = (("bytes", "@fmt"), ("caption", "txt")),
+    batches_per_shard: int = 1,
 ) -> str:
     """Fingerprint of every packing-relevant export setting — the second
     stamp on the manifest table. Exposed so callers (the auto-maintenance
     freshness tick) can detect a config mismatch WITHOUT triggering the
     full re-export + tar sweep a mismatched job run would perform."""
-    return hashlib.md5(
-        json.dumps(
-            {
-                "key_col": key_col,
-                "batch_size": int(batch_size),
-                "buckets": [list(map(int, b)) for b in buckets],
-                "members": [list(m) for m in members],
-                "out_dir": os.path.abspath(out_dir),
-            },
-            sort_keys=True,
-        ).encode()
-    ).hexdigest()
+    cfg = {
+        "key_col": key_col,
+        "batch_size": int(batch_size),
+        "buckets": [list(map(int, b)) for b in buckets],
+        "members": [list(m) for m in members],
+        "out_dir": os.path.abspath(out_dir),
+    }
+    if int(batches_per_shard) != 1:
+        # keyed only when non-default so pre-existing manifests (stamped
+        # before this knob existed) still read as config-matched
+        cfg["batches_per_shard"] = int(batches_per_shard)
+    return hashlib.md5(json.dumps(cfg, sort_keys=True).encode()).hexdigest()
 
 
 def _key_caster(dtype):
@@ -351,6 +370,86 @@ def _key_caster(dtype):
     return None
 
 
+def _pack_named(
+    df: DataFrame,
+    *,
+    batch_size: int,
+    batches_per_shard: int,
+    key_col: str,
+    num_partitions,
+    prefix: str,
+    bucket_offsets: dict | None = None,
+):
+    """Pack into training batches, derive the TAR shard id, and stamp the
+    shard name. The manifest's ``shard`` coordinate is the tar index
+    (= batch // batches_per_shard, so tar size and training batch size are
+    independent knobs); the training-batch id survives as ``_batch`` and —
+    when several batches share a tar — as the member-name directory
+    prefix. Returns (packed_df, batch_col_for_member_names)."""
+    bps = int(batches_per_shard)
+    if bps < 1:
+        raise ValueError("batches_per_shard must be >= 1")
+    packed = (
+        pack_training_batches(
+            df,
+            batch_size=batch_size,
+            order_col=key_col,
+            num_partitions=num_partitions,
+            bucket_offsets=bucket_offsets,
+        )
+        .withColumnRenamed("shard", "_batch")
+        .withColumn("shard", F.floor(F.col("_batch") / F.lit(bps)).cast("int"))
+        .withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"], prefix))
+    )
+    return packed, ("_batch" if bps > 1 else None)
+
+
+def _entry_totals(spark, table, entries) -> tuple[int, int]:
+    """(sum n_items, sum n_bytes) over just-written manifest entries — one
+    tiny read-back job over the entry paths, so the export job's report
+    never re-executes the tar-writing plan and never collects shard rows."""
+    if not entries:
+        return 0, 0
+    paths = [os.path.join(table.root, e.path) for e in entries]
+    r = (
+        spark.read.schema(_MANIFEST_SCHEMA)
+        .parquet(*paths)
+        .agg(F.sum("n_items").alias("i"), F.sum("n_bytes").alias("b"))
+        .collect()[0]
+    )
+    return int(r["i"] or 0), int(r["b"] or 0)
+
+
+def _sweep_retired(spark, out_dir: str, prefix: str, live_names: DataFrame) -> int:
+    """Delete this table's tars whose names left the manifest — fully
+    distributed: a path-only ``binaryFile`` listing (content column never
+    read) anti-joined against the live shard names, unlinked
+    executor-side. No O(#files-in-out_dir) names ever sit on the driver."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"{prefix}shard-*.tar")
+        .load(out_dir)
+        .select(F.element_at(F.split("path", "/"), -1).alias("shard_name"))
+    )
+    retired = listing.join(
+        live_names.select("shard_name"), "shard_name", "left_anti"
+    )
+
+    def unlink(batches):
+        for pdf in batches:
+            n = 0
+            for name in pdf["shard_name"]:
+                try:
+                    os.unlink(os.path.join(out_dir, name))
+                    n += 1
+                except FileNotFoundError:
+                    pass  # concurrent sweep already took it
+            yield pd.DataFrame({"n": [n]})
+
+    got = retired.mapInPandas(unlink, schema="n long").agg(F.sum("n")).collect()[0][0]
+    return int(got or 0)
+
+
 def _incremental_export(
     spark,
     t,
@@ -359,6 +458,7 @@ def _incremental_export(
     prefix: str,
     key_col: str,
     batch_size: int,
+    batches_per_shard: int,
     buckets,
     members,
     num_partitions,
@@ -392,7 +492,9 @@ def _incremental_export(
     # per-bucket recorded state: total rows, overall last key, and the last
     # FULL shard's last key (the tail boundary) — O(#buckets) driver rows,
     # ONE manifest aggregate (null-coordinate detection and the total shard
-    # count ride in the same job)
+    # count ride in the same job). A tar is full at batch_size ×
+    # batches_per_shard rows; the shorter tail tar (if any) is repacked.
+    rows_per_shard = int(batch_size) * int(batches_per_shard)
     totals = old.groupBy("bucket_id").agg(
         F.sum("n_items").alias("tot"),
         F.count("*").alias("n_shards"),
@@ -400,7 +502,7 @@ def _incremental_export(
         F.max_by("last_key", "shard").alias("bucket_last_key"),
     )
     full_b = (
-        old.filter(F.col("n_items") == batch_size)
+        old.filter(F.col("n_items") == rows_per_shard)
         .groupBy("bucket_id")
         .agg(F.max_by("last_key", "shard").alias("full_boundary_key"))
     )
@@ -463,7 +565,7 @@ def _incremental_export(
     # here would double-count every appended row. Two-phase probe so the
     # payload column is only read for tail FILES, never the corpus: (1) a
     # NARROW (key, w, h) scan — columnar-cheap, no bytes — finds the tail
-    # keys (≤ #touched-buckets × batch_size rows by construction); (2) a
+    # keys (≤ #touched-buckets × rows_per_shard rows by construction); (2) a
     # full-width scan pruned to `key in tail_keys` reads only the files
     # whose bounds/Blooms admit those keys (the merge.py probe shape).
     def _tail_from(scan_df):
@@ -508,32 +610,53 @@ def _incremental_export(
 
     cols = delta_b.columns
     to_pack = tail_rows.select(*cols).unionByName(delta_b.select(*cols))
+    # offsets in ROWS, aligned to the last full TAR boundary — divisible by
+    # batch_size too, so both the batch ids and the tar indices of the
+    # repacked tail continue the recorded sequence exactly
     offsets = {
-        b: int(st["tot"]) - int(st["tot"]) % batch_size
+        b: int(st["tot"]) - int(st["tot"]) % rows_per_shard
         for b, st in with_old.items()
     }
-    packed = pack_training_batches(
+    packed, batch_col = _pack_named(
         to_pack,
         batch_size=batch_size,
-        order_col=key_col,
+        batches_per_shard=batches_per_shard,
+        key_col=key_col,
         num_partitions=num_partitions,
+        prefix=prefix,
         bucket_offsets=offsets,
-    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"], prefix))
-    rows = export_webdataset(packed, out_dir, list(members), key_col=key_col).collect()
-
-    new_names = spark.createDataFrame(
-        [(r["shard_name"],) for r in rows], "shard_name string"
     )
-    kept = old.join(F.broadcast(new_names), "shard_name", "left_anti")
-    final = kept.unionByName(spark.createDataFrame(rows, _MANIFEST_SCHEMA))
-    n_kept = int(kept.count())
-    mt.overwrite(final, set_properties=stamps)
+    new_df = export_webdataset(
+        packed, out_dir, list(members), key_col=key_col, batch_col=batch_col
+    )
+    # ONE execution of the tar-writing plan, staged as plain parquet under
+    # the manifest table's root (shared storage by construction) — the new
+    # rows then participate in joins/aggregates as a side-effect-free
+    # DataFrame; nothing O(#shards) touches the driver
+    # no leading underscore/dot: Spark's file index treats those as hidden
+    # and would silently read the staged manifest back as empty
+    stage = os.path.join(mt.root, f"export-stage-{uuid.uuid4().hex}")
+    new_df.write.parquet(stage)
+    try:
+        newly = spark.read.schema(_MANIFEST_SCHEMA).parquet(stage)
+        kept = old.join(newly.select("shard_name"), "shard_name", "left_anti")
+        mt.overwrite(kept.unionByName(newly), set_properties=stamps)
+        stats = newly.agg(
+            F.count("*").alias("n"),
+            F.sum("n_items").alias("i"),
+            F.sum("n_bytes").alias("b"),
+        ).collect()[0]
+        n_rewritten = int(
+            old.join(newly.select("shard_name"), "shard_name", "left_semi").count()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return {
-        "exported": len(rows),
-        "skipped": n_kept,
+        "exported": int(stats["n"] or 0),
+        "skipped": n_old_shards - n_rewritten,
         "swept": 0,
-        "items": int(sum(r["n_items"] for r in rows)),
-        "bytes": int(sum(r["n_bytes"] for r in rows)),
+        "items": int(stats["i"] or 0),
+        "bytes": int(stats["b"] or 0),
         "mode": "incremental",
     }
 
@@ -546,6 +669,7 @@ def export_webdataset_job(
     *,
     key_col: str = "image_id",
     batch_size: int = 64,
+    batches_per_shard: int = 1,
     buckets: Iterable[tuple[int, int]] = DEFAULT_BUCKETS,
     members: Iterable[tuple[str, str]] = (("bytes", "@fmt"), ("caption", "txt")),
     manifest_table: str | None = None,
@@ -556,6 +680,17 @@ def export_webdataset_job(
     tar shards, with the shard manifest COMMITTED as an engine table
     (``<table>_export``) stamped with the source snapshot id AND a
     fingerprint of the export configuration.
+
+    ``batches_per_shard`` groups that many consecutive same-bucket
+    training batches into one tar, decoupling tar size (the WebDataset
+    0.5–1 GiB convention) from the training batch size: at the 10^12-row
+    design point batch_size=64 alone would mean ~10^10 tiny tars. Member
+    names carry the batch id as a directory prefix when > 1, so the
+    training contract (exact same-bucket batches of batch_size) is
+    unchanged. Everything O(#shards) — the manifest commit, the totals in
+    the returned report, the retired-tar sweep, the resume anti-join —
+    runs distributed; the driver holds only per-file manifest-entry
+    metadata, same as any other commit.
 
     Exactly-once without a transaction across the tar store and the
     catalog: shard assignment is a pure function of (snapshot, key order,
@@ -595,11 +730,12 @@ def export_webdataset_job(
     prefix = table_name.replace(".", "_") + "-"
     config_fp = export_config_fingerprint(
         out_dir, key_col=key_col, batch_size=batch_size, buckets=buckets,
-        members=members,
+        members=members, batches_per_shard=batches_per_shard,
     )
 
     stamps = {stamp_key: src_id, config_key: config_fp}
-    done: set[str] = set()
+    resume_names: DataFrame | None = None
+    n_done = 0
     fresh_manifest = True
     if cat.table_exists(mt_name):
         mt = cat.load_table(mt_name)
@@ -618,11 +754,13 @@ def export_webdataset_job(
         same_config = mt.properties.get(config_key) == config_fp
         prev = mt.properties.get(stamp_key)
         if same_config and prev == str(src_id):
+            # resume: shards already recorded for THIS (snapshot, config)
+            # skip via a distributed anti-join — no shard-name set on the
+            # driver; the skipped count comes from manifest-entry footers
+            # (metadata only, no job)
             fresh_manifest = False
-            done = {
-                r["shard_name"]
-                for r in mt.scan(spark, columns=["shard_name"]).collect()
-            }
+            resume_names = mt.scan(spark, columns=["shard_name"])
+            n_done = sum(e.record_count for e in mt.live_entries())
         elif same_config and prev is not None:
             # the source moved but the config didn't: try the delta path —
             # pack only appended rows (+ each touched bucket's partial tail
@@ -630,62 +768,70 @@ def export_webdataset_job(
             # re-export below on any contract violation.
             inc = _incremental_export(
                 spark, t, mt, out_dir, prefix, key_col, batch_size,
-                buckets, members, num_partitions, int(prev), src_id, stamps,
+                batches_per_shard, buckets, members, num_partitions,
+                int(prev), src_id, stamps,
             )
             if inc is not None:
                 inc["manifest_table"] = mt_name
                 inc["snapshot_id"] = src_id
                 return inc
 
-    packed = pack_training_batches(
+    packed, batch_col = _pack_named(
         assign_aspect_buckets(t.scan(spark), buckets=buckets),
         batch_size=batch_size,
-        order_col=key_col,
+        batches_per_shard=batches_per_shard,
+        key_col=key_col,
         num_partitions=num_partitions,
-    ).withColumn("_shard_name", _shard_name_col(["bucket_id", "shard"], prefix))
-    if done:
-        names = spark.createDataFrame(
-            [(n,) for n in sorted(done)], "_shard_name string"
+        prefix=prefix,
+    )
+    if resume_names is not None:
+        packed = packed.join(
+            resume_names.withColumnRenamed("shard_name", "_shard_name"),
+            "_shard_name",
+            "left_anti",
         )
-        packed = packed.join(F.broadcast(names), "_shard_name", "left_anti")
 
-    manifest = export_webdataset(packed, out_dir, list(members), key_col=key_col)
-    rows = manifest.collect()
-
+    manifest = export_webdataset(
+        packed, out_dir, list(members), key_col=key_col, batch_col=batch_col
+    )
     if not cat.table_exists(mt_name):
         cat.create_table(mt_name, _MANIFEST_SCHEMA, TableSpec())
     mt = cat.load_table(mt_name)
-    new_rows = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    # ONE execution of the tar-writing plan: the manifest rows land as the
+    # manifest table's own data files (executor-side, with footer stats);
+    # the driver sees per-FILE entries only, never per-shard rows
+    entries = mt.write_data_files(manifest)
+    for e in [e for e in entries if e.record_count == 0]:
+        # an empty export writes empty part files — drop them pre-commit
+        entries.remove(e)
+        try:
+            os.unlink(os.path.join(mt.root, e.path))
+        except FileNotFoundError:
+            pass
+    n_exported = sum(e.record_count for e in entries)
+    items, n_bytes = _entry_totals(spark, mt, entries)
     if fresh_manifest:
         # always overwrite on a stamp change — an empty export must still
         # retire a stale manifest, not leave it published under a new head
-        mt.overwrite(new_rows, set_properties=stamps)
+        mt.commit_overwrite(entries, set_properties=stamps)
         # sweep THIS table's tars from retired packings: shard names are a
-        # pure function of (bucket, batch index), so a shrunken export
+        # pure function of (bucket, tar index), so a shrunken export
         # leaves valid-looking high-numbered tars behind otherwise — and
         # directory-globbing consumers would train on retired data
-        live = {r["shard_name"] for r in rows}
-        swept = 0
-        for fn in os.listdir(out_dir):
-            if (
-                fn.startswith(f"{prefix}shard-")
-                and fn.endswith(".tar")
-                and fn not in live
-            ):
-                os.unlink(os.path.join(out_dir, fn))
-                swept += 1
-    elif rows:
-        entries = mt.write_data_files(new_rows)
+        swept = _sweep_retired(
+            spark, out_dir, prefix, mt.refresh().scan(spark, columns=["shard_name"])
+        )
+    elif entries:
         mt.commit_append(entries, set_properties=stamps)
         swept = 0
     else:
         swept = 0
     return {
-        "exported": len(rows),
-        "skipped": len(done),
+        "exported": n_exported,
+        "skipped": n_done,
         "swept": swept,
-        "items": int(sum(r["n_items"] for r in rows)),
-        "bytes": int(sum(r["n_bytes"] for r in rows)),
+        "items": items,
+        "bytes": n_bytes,
         "manifest_table": mt_name,
         "snapshot_id": src_id,
     }

@@ -44,7 +44,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--batch-size", type=int, default=64,
-        help="--op export: images per same-aspect-bucket batch/shard",
+        help="--op export: images per same-aspect-bucket training batch",
+    )
+    ap.add_argument(
+        "--batches-per-shard", type=int, default=1,
+        help="--op export: consecutive batches per tar shard (sizes tars "
+             "toward the WebDataset 0.5-1 GiB convention independently of "
+             "the training batch size)",
     )
     ap.add_argument(
         "--replica", default=None,
@@ -345,12 +351,15 @@ def main(argv=None) -> int:
                     # refresh this tick promises. Surface it for an
                     # explicit --op export decision instead.
                     want = export_config_fingerprint(
-                        args.export_dir, batch_size=args.batch_size
+                        args.export_dir, batch_size=args.batch_size,
+                        batches_per_shard=args.batches_per_shard,
                     )
                     if props.get("export-config-fingerprint") == want:
                         rep["export"] = export_webdataset_job(
                             spark, cat, table_name, args.export_dir,
-                            batch_size=args.batch_size, table=t.refresh(),
+                            batch_size=args.batch_size,
+                            batches_per_shard=args.batches_per_shard,
+                            table=t.refresh(),
                         )
                         actions.append("export")
                     else:
@@ -451,6 +460,7 @@ def main(argv=None) -> int:
             rep["export"] = export_webdataset_job(
                 spark, cat, table_name, args.export_dir,
                 batch_size=args.batch_size,
+                batches_per_shard=args.batches_per_shard,
                 table=t.refresh(),  # honors --branch: export the bound head
             )
 
