@@ -443,24 +443,122 @@ class _TableStreamReader(DataSourceStreamReader):
         self.skip_non_append = str(options.get("streaming.skip-non-append", "false")).lower() == "true"
         self._start = _opt_int(options, "streaming.start-snapshot-id")
         self._start_latest = str(options.get("streaming.start-latest", "false")).lower() == "true"
+        # per-trigger admission control (Iceberg parity:
+        # streaming-max-files/bytes-per-micro-batch): cap each micro-batch
+        # by walking the snapshot log and returning an INTERMEDIATE
+        # snapshot id from latestOffset, so a long-idle consumer — or an
+        # offset-0 bootstrap of a 100 TB table — drains in bounded batches
+        # instead of one multi-hour batch with matching checkpoint-loss
+        # blast radius
+        self.max_files = _opt_int(options, "read.max-files-per-trigger")
+        self.max_bytes = _opt_int(options, "read.max-bytes-per-trigger")
+        # reader-side pagination anchor for the caps. The Python API's
+        # latestOffset takes no start offset, so the reader tracks its own:
+        # initialOffset and partitions() keep it current. Call-order facts
+        # this relies on (observed on Spark 4.1's python_streaming_source
+        # runner, one long-lived reader per query run):
+        #   fresh query    latestOffset → initialOffset → partitions(...)
+        #   restart        partitions(WAL start, WAL end) → latestOffset
+        # i.e. a restart always re-plans the write-ahead log's last batch
+        # first, anchoring _last_end to the committed offset before any
+        # capping decision — so a first latestOffset with no anchor is
+        # necessarily a fresh query, where the initial offset is the
+        # correct anchor.
+        self._last_end: int | None = None
 
     def _table(self) -> Table:
         return Table(self.root, meta.load_metadata(self.root))
 
-    def initialOffset(self) -> dict:
+    def _initial_snapshot_id(self) -> int:
         if self._start is not None:
-            return {"snapshot_id": self._start}
+            return self._start
         if self._start_latest:
             snap = self._table().current_snapshot()
-            return {"snapshot_id": snap.snapshot_id if snap else 0}
-        return {"snapshot_id": 0}
+            return snap.snapshot_id if snap else 0
+        return 0
+
+    def initialOffset(self) -> dict:
+        off = self._initial_snapshot_id()
+        self._last_end = off
+        return {"snapshot_id": off}
 
     def latestOffset(self) -> dict:
-        snap = self._table().current_snapshot()
-        return {"snapshot_id": snap.snapshot_id if snap else 0}
+        table = self._table()
+        snap = table.current_snapshot()
+        head = snap.snapshot_id if snap else 0
+        if self.max_files is None and self.max_bytes is None:
+            return {"snapshot_id": head}
+        start = self._last_end
+        if start is None:
+            # fresh query, asked for offsets before initialOffset (see
+            # __init__ note): answer WITH the initial offset — Spark runs
+            # one empty bootstrap batch, then every batch that moves data,
+            # including the offset-0 backfill of a huge table, is paced by
+            # the caps instead of arriving as one table-sized micro-batch
+            start = self._initial_snapshot_id()
+            self._last_end = start
+            return {"snapshot_id": start}
+        if head <= start:
+            return {"snapshot_id": head}
+        return {"snapshot_id": self._admit(table, start, head)}
+
+    def _admit(self, table: Table, start: int, head: int) -> int:
+        """Largest snapshot id in (start, head] whose cumulative commit
+        summary stays within the per-trigger caps — always admitting at
+        least one snapshot so the stream can't stall. Counts come from the
+        snapshot log (added-files/added-bytes; commits that track neither
+        admit freely), so admission is pure metadata: no manifest reads.
+        If the range can't be walked (expired ancestor, diverged history,
+        or a capped offset-0 bootstrap over non-append history outside
+        changelog mode — the incremental batches it would schedule raise
+        by design), fall back to the uncapped head."""
+        from ..core.table import ROW_PRESERVING_OPS, IncrementalScanError
+
+        try:
+            if start == 0:
+                chain, cur = [], table.md.snapshot_by_id(head)
+                while cur is not None:
+                    chain.append(cur)
+                    cur = (
+                        table.md.snapshot_by_id(cur.parent_id)
+                        if cur.parent_id is not None
+                        else None
+                    )
+                chain.reverse()
+                if (
+                    not self.changelog
+                    and not self.skip_non_append
+                    and any(
+                        c.operation != "append"
+                        and c.operation not in ROW_PRESERVING_OPS
+                        for c in chain
+                    )
+                ):
+                    return head
+            else:
+                chain = table._lineage_chain(start, head)
+        except (IncrementalScanError, KeyError):
+            return head
+        files = nbytes = 0
+        end = start
+        for snap in chain:
+            f = int(snap.summary.get("added-files", 0) or 0)
+            b = int(snap.summary.get("added-bytes", 0) or 0)
+            over = (self.max_files is not None and files + f > self.max_files) or (
+                self.max_bytes is not None and nbytes + b > self.max_bytes
+            )
+            if over and end != start:
+                break
+            files += f
+            nbytes += b
+            end = snap.snapshot_id
+            if over:
+                break
+        return end
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        self._last_end = e
         if s == e:
             return [InputPartition(())]
         table = self._table()

@@ -525,3 +525,96 @@ def test_catalog_register_views_sql(registered, tmp_path):
         "SELECT v, count(*) n FROM ns_sqlview WHERE id >= 100 GROUP BY v"
     ).collect()
     assert got[0]["v"] == "late" and got[0]["n"] == 10
+
+
+def _drain_counted(spark, t, out, ckpt, options=None):
+    """Run the stream until caught up, return #micro-batch commits."""
+    reader = spark.readStream.format("lakehouse")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(t.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    )
+
+
+def test_stream_read_max_files_per_trigger(registered, tmp_path):
+    """Admission control: read.max-files-per-trigger paces the drain —
+    the bootstrap and every catch-up run split into ⌈files/cap⌉
+    micro-batches (never one table-sized batch), with exactly-once
+    results identical to the uncapped stream."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.paced", rows=100, files=8)
+    for i in range(5):  # 5 more snapshots x 2 files
+        t.refresh().append(
+            spark.range(100 + i * 10, 110 + i * 10).select(
+                F.col("id"), F.lit(f"b{i}").alias("v"),
+                F.timestamp_seconds(F.lit(0)).alias("ts"),
+            ),
+            num_files=2,
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_commits = _drain_counted(
+        spark, t, out, ckpt, {"read.max-files-per-trigger": "4"}
+    )
+    # bootstrap admits the whole first snapshot (progress guarantee: 8 > 4
+    # files) then pages the 5 remaining 2-file snapshots two at a time
+    assert n_commits >= 4, f"capped drain ran in only {n_commits} micro-batches"
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.select("id").distinct().count() == 150
+
+    # catch-up after more appends is paced too, and stays exactly-once
+    for i in range(4):
+        t.refresh().append(
+            spark.range(1000 + i * 10, 1010 + i * 10).select(
+                F.col("id"), F.lit(f"c{i}").alias("v"),
+                F.timestamp_seconds(F.lit(0)).alias("ts"),
+            ),
+            num_files=2,
+        )
+    n2 = _drain_counted(spark, t, out, ckpt, {"read.max-files-per-trigger": "4"})
+    assert n2 - n_commits >= 2  # 8 new files / cap 4
+    got = spark.read.parquet(out)
+    assert got.count() == 190 and got.select("id").distinct().count() == 190
+
+
+def test_stream_read_max_bytes_per_trigger_changelog(registered, tmp_path):
+    """The bytes cap paces a changelog-mode stream the same way, and the
+    paced CDC drain carries exactly the same rows as an uncapped one."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.pacedcdc", rows=40, files=2)
+    for i in range(4):
+        t.refresh().append(
+            spark.range(100 + i * 10, 110 + i * 10).select(
+                F.col("id"), F.lit(f"b{i}").alias("v"),
+                F.timestamp_seconds(F.lit(0)).alias("ts"),
+            ),
+            num_files=2,
+        )
+    one_file = min(e.size_bytes for e in t.refresh().live_entries())
+    out, ckpt = str(tmp_path / "outc"), str(tmp_path / "ckptc")
+    n_commits = _drain_counted(
+        spark, t, out, ckpt,
+        {
+            "streaming.mode": "changelog",
+            "read.max-bytes-per-trigger": str(one_file),
+        },
+    )
+    assert n_commits >= 4  # each catch-up snapshot admitted alone
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert set(got.select("_change_type").distinct().toPandas()["_change_type"]) == {
+        "insert"
+    }
+    assert got.select("id").distinct().count() == 80
