@@ -654,6 +654,9 @@ class _TableStreamReader(DataSourceStreamReader):
 class _FilesWritten(WriterCommitMessage):
     # each element: ManifestEntry fields as a plain dict (jsonable/picklable)
     entries: tuple
+    # merge-keys upsert only: (task DV rel path | None,
+    #   ((data path, tombstoned rows), ...), ((data path, #DVs at probe), ...))
+    dv: tuple = ()
 
 
 def _partition_values(pdf, spec_fields):
@@ -693,9 +696,17 @@ class _TableArrowWriter(DataSourceArrowWriter):
     computed here, next to the bytes just written, so the driver-side
     commit never opens a data file."""
 
-    def __init__(self, root: str, table: Table, overwrite: bool):
+    def __init__(
+        self, root: str, table: Table, overwrite: bool, merge_key: str | None = None
+    ):
         self.root = root
         self.overwrite = overwrite
+        # merge-keys upsert: MoR MERGE through the vanilla writer —
+        # tasks probe THIS snapshot (fixed at planning, so every task sees
+        # one consistent state) for rows their keys replace
+        self.merge_key = merge_key
+        snap = table.current_snapshot()
+        self.merge_snapshot = snap.snapshot_id if snap else None
         self.spec_fields = [f.to_dict() for f in table.partition_spec.fields]
         self.partition_cols = [
             ("_p_" + f["name"], f["name"]) for f in self.spec_fields
@@ -718,6 +729,7 @@ class _TableArrowWriter(DataSourceArrowWriter):
         if not batches:
             return _FilesWritten(())
         tbl = pa.Table.from_batches(batches)
+        keys = set(tbl[self.merge_key].to_pylist()) if self.merge_key else None
         groups: list[tuple[dict, pa.Table]]
         if not self.spec_fields:
             groups = [({}, tbl)]
@@ -739,15 +751,15 @@ class _TableArrowWriter(DataSourceArrowWriter):
         entries = []
         for partition, sub in groups:
             if self.sort_cols:
-                keys = [
+                order = [
                     (c, "descending" if d else "ascending")
                     for c, d in self.sort_cols
                     if c in sub.column_names
                 ]
-                if keys:
-                    sub = sub.sort_by(keys)
+                if order:
+                    sub = sub.sort_by(order)
             entries.append(self._write_one(partition, sub))
-        return _FilesWritten(tuple(entries))
+        return self._finish(entries, keys)
 
     def _write_streaming(self, iterator: Iterator) -> WriterCommitMessage:
         import pyarrow.parquet as pq
@@ -757,19 +769,109 @@ class _TableArrowWriter(DataSourceArrowWriter):
         name = f"{uuid.uuid4().hex}.parquet"
         abs_path = os.path.join(destdir, name)
         writer = None
+        keys: set | None = set() if self.merge_key else None
         try:
             for b in iterator:
                 if not b.num_rows:
                     continue
                 if writer is None:
                     writer = pq.ParquetWriter(abs_path, b.schema)
+                if keys is not None:
+                    keys.update(b.column(self.merge_key).to_pylist())
                 writer.write_batch(b)
         finally:
             if writer is not None:
                 writer.close()
         if writer is None:
             return _FilesWritten(())
-        return _FilesWritten((self._entry_for(abs_path, {}),))
+        return self._finish([self._entry_for(abs_path, {})], keys)
+
+    def _finish(self, entries: list, keys: set | None) -> WriterCommitMessage:
+        if not self.merge_key:
+            return _FilesWritten(tuple(entries))
+        return _FilesWritten(tuple(entries), self._probe_merge_tombstones(keys or set()))
+
+    def _probe_merge_tombstones(self, keys: set) -> tuple:
+        """Executor-side half of the merge-keys upsert (MoR MERGE through
+        the vanilla Spark writer): prune the probed snapshot's manifest to
+        files whose partition/bounds/Bloom can hold any of THIS task's
+        keys, then read just the key column of each candidate to collect
+        (path, pos) tombstones — excluding positions earlier DVs already
+        killed. Work per task ∝ its keys' candidate files, never O(table);
+        the driver only ever sees per-file counts. Tasks probe
+        independently (no coordination), so a file hot across many tasks
+        pays one pruned key-column read per task — the price of reusing
+        Spark's writer exchange; pipelines that pre-partition by key
+        should call maintenance.merge.merge_into directly."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        keys = {k for k in keys if k is not None}
+        if not keys or self.merge_snapshot is None:
+            return (None, (), ())
+        table = Table(self.root, meta.load_metadata(self.root))
+        entries = table.live_entries(snapshot_id=self.merge_snapshot)
+        preds = prepare_predicates(
+            [PrunePredicate(self.merge_key, "in", sorted(keys))]
+        )
+        cand = [e for e in entries if entry_matches(e, preds)]
+        if not cand:
+            return (None, (), ())
+        import pyarrow as pa
+
+        value_set = pa.array(sorted(keys))
+        paths_out, pos_out, counts, expected = [], [], {}, {}
+        for e in cand:
+            expected[e.path] = len(e.deletes)
+            dead = set()
+            for d in e.deletes:
+                dv = pq.read_table(
+                    os.path.join(self.root, d["path"]), columns=["path", "pos"]
+                )
+                dv = dv.filter(pc.equal(dv["path"], e.path))
+                dead.update(dv["pos"].to_pylist())
+            pf = pq.ParquetFile(os.path.join(self.root, e.path))
+            if self.merge_key not in pf.schema_arrow.names:
+                continue
+            offset = 0
+            hit_pos = []
+            for b in pf.iter_batches(columns=[self.merge_key], batch_size=DEFAULT_BATCH_ROWS):
+                mask = (
+                    pc.is_in(b.column(0), value_set=value_set)
+                    .fill_null(False)
+                    .to_numpy(zero_copy_only=False)
+                )
+                for i in np.nonzero(mask)[0]:
+                    p = offset + int(i)
+                    if p not in dead:
+                        hit_pos.append(p)
+                offset += b.num_rows
+            if hit_pos:
+                counts[e.path] = len(hit_pos)
+                paths_out.extend([e.path] * len(hit_pos))
+                pos_out.extend(hit_pos)
+        if not pos_out:
+            return (None, (), tuple(sorted(expected.items())))
+        destdir = os.path.join(self.root, DATA_DIR, "_deletes")
+        os.makedirs(destdir, exist_ok=True)
+        name = f"dv-task-{uuid.uuid4().hex[:12]}.parquet"
+        abs_path = os.path.join(destdir, name)
+        order = np.lexsort((np.array(pos_out), np.array(paths_out)))
+        pq.write_table(
+            pa.table(
+                {
+                    "path": pa.array(np.array(paths_out)[order]),
+                    "pos": pa.array(np.array(pos_out)[order], type=pa.int64()),
+                }
+            ),
+            abs_path,
+        )
+        return (
+            os.path.relpath(abs_path, self.root),
+            tuple(sorted(counts.items())),
+            tuple(sorted(expected.items())),
+        )
 
     def _write_one(self, partition: dict, tbl) -> dict:
         import pyarrow.parquet as pq
@@ -825,6 +927,9 @@ class _TableArrowWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         table = Table(self.root, meta.load_metadata(self.root))
         entries = self._entries(messages)
+        if self.merge_key:
+            self._commit_merge(table, entries, messages)
+            return
         if self.overwrite:
             table.commit_overwrite(entries)
         else:
@@ -832,8 +937,83 @@ class _TableArrowWriter(DataSourceArrowWriter):
                 return
             table.commit_append(entries)
 
+    def _commit_merge(self, table: Table, entries, messages) -> None:
+        """Driver half of the merge-keys upsert: consolidate the task DV
+        fragments into ONE (path, pos)-sorted delete vector (dropping
+        duplicate positions — two source rows carrying the same key may
+        have probed the same target row from different tasks), then land
+        tombstones + upsert files in a single MERGE snapshot via
+        commit_delete_vectors — the same atomicity contract as
+        maintenance.merge.merge_into(strategy='mor'). Driver work is
+        O(this batch's matched rows), the delete_where DV shape."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        task_dvs, expected = [], {}
+        for m in messages or []:
+            if m is None or not m.dv:
+                continue
+            dv_path, _counts, exp = m.dv
+            if dv_path:
+                task_dvs.append(os.path.join(self.root, dv_path))
+            for p, n in exp:
+                expected[p] = n
+        dv_rel, counts = None, {}
+        if task_dvs:
+            frags = pa.concat_tables(
+                [pq.read_table(p, columns=["path", "pos"]) for p in task_dvs]
+            )
+            paths = np.asarray(frags["path"].to_pylist())
+            pos = frags["pos"].to_numpy(zero_copy_only=False)
+            pairs = np.unique(np.rec.fromarrays([paths, pos]))
+            dest = os.path.join(
+                self.root, DATA_DIR, "_deletes", f"dv-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "path": pa.array(pairs["f0"]),
+                        "pos": pa.array(pairs["f1"], type=pa.int64()),
+                    }
+                ),
+                dest,
+            )
+            uniq_paths, uniq_counts = np.unique(pairs["f0"], return_counts=True)
+            counts = {str(p): int(n) for p, n in zip(uniq_paths, uniq_counts)}
+            dv_rel = os.path.relpath(dest, self.root)
+            for p in task_dvs:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        if dv_rel is None and not entries:
+            return
+        table.commit_delete_vectors(
+            dv_rel,
+            counts,
+            summary={
+                "merge-key": self.merge_key,
+                "upserted-rows": sum(e.record_count for e in entries),
+                "tombstoned-rows": int(sum(counts.values())),
+            },
+            added_entries=entries,
+            operation="merge",
+            expected_dv_counts=expected or None,
+        )
+
     def abort(self, messages) -> None:
         self._unlink(messages)
+        # also drop any task DV fragments staged under data/_deletes
+        for m in messages or []:
+            if m is None or not getattr(m, "dv", None):
+                continue
+            dv_path = m.dv[0]
+            if dv_path:
+                try:
+                    os.unlink(os.path.join(self.root, dv_path))
+                except OSError:
+                    pass
 
 
 class _TableStreamWriter(_TableArrowWriter, DataSourceStreamWriter):
@@ -944,12 +1124,40 @@ class LakehouseDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool):
         table = self._table()
         _check_write_schema(schema, table.schema)
-        return _TableArrowWriter(self._root(), table, overwrite)
+        return _TableArrowWriter(
+            self._root(), table, overwrite, merge_key=self._merge_key(table, overwrite)
+        )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         table = self._table()
         _check_write_schema(schema, table.schema)
+        if self.options.get("merge-keys"):
+            raise ValueError(
+                "merge-keys is a batch-writer option; for streaming upserts "
+                "use streaming.ingest.stream_upserts (CDC apply with the "
+                "exactly-once epoch guard)"
+            )
         return _TableStreamWriter(self._root(), table, self._stream_id())
+
+    def _merge_key(self, table: Table, overwrite: bool) -> str | None:
+        """``.option("merge-keys", "image_id").mode("append")`` turns the
+        plain append into a MERGE upsert: rows whose key already exists
+        replace the old rows (MoR tombstones + inserts in one snapshot) —
+        the Spark-native spelling of maintenance.merge.merge_into for a
+        user who only knows the DataFrame writer."""
+        mk = self.options.get("merge-keys")
+        if not mk:
+            return None
+        if overwrite:
+            raise ValueError("merge-keys only applies to mode('append')")
+        keys = [k.strip() for k in mk.split(",") if k.strip()]
+        if len(keys) != 1:
+            raise ValueError(
+                f"merge-keys supports exactly one key column, got {keys!r}"
+            )
+        if keys[0] not in table.schema.fieldNames():
+            raise ValueError(f"merge key {keys[0]!r} is not a table column")
+        return keys[0]
 
     def _stream_id(self) -> str:
         """The exactly-once epoch guard is keyed by stream-id: a replayed

@@ -618,3 +618,83 @@ def test_stream_read_max_bytes_per_trigger_changelog(registered, tmp_path):
         "insert"
     }
     assert got.select("id").distinct().count() == 80
+
+
+def test_batch_write_merge_keys_upsert_equals_merge_into(registered, tmp_path):
+    """.option('merge-keys', 'id').mode('append') routes the vanilla
+    writer through a MoR MERGE: matched rows replaced, new rows inserted,
+    tombstones + inserts in ONE snapshot, zero data files rewritten — and
+    the result equals maintenance.merge.merge_into on the same input."""
+    spark = registered
+    from ocel_ocpn_lakehouse_spark.maintenance.merge import merge_into
+
+    t = _make_table(spark, tmp_path, name="ns.mkw", rows=100, files=6)
+    oracle = _make_table(spark, tmp_path, name="ns.mkw_oracle", rows=100, files=6)
+    files_before = {e.path for e in t.live_entries()}
+
+    src = spark.range(80, 110).select(
+        F.col("id"),
+        F.concat(F.lit("NEW"), F.col("id")).alias("v"),
+        F.timestamp_seconds(F.lit(1800000000)).alias("ts"),
+    )
+    src.write.format("lakehouse").option("merge-keys", "id").mode("append").save(t.root)
+    merge_into(
+        spark, oracle, src.withColumn("_op", F.lit("upsert")), key="id", strategy="mor"
+    )
+
+    t, oracle = t.refresh(), oracle.refresh()
+    got = sorted(map(tuple, t.scan(spark).collect()))
+    want = sorted(map(tuple, oracle.scan(spark).collect()))
+    assert got == want
+    assert len(got) == 110  # 100 originals - 20 replaced + 30 upserts
+    assert sum(1 for r in got if str(r[1]).startswith("NEW")) == 30
+
+    snap = t.current_snapshot()
+    assert snap.operation == "merge"
+    assert int(snap.summary["tombstoned-rows"]) == 20
+    assert int(snap.summary["upserted-rows"]) == 30
+    # MoR: the original data files are all still live, just tombstoned
+    assert files_before <= {e.path for e in t.live_entries()}
+
+    # second upsert of the SAME keys replaces the first upsert's rows
+    # (probe excludes already-dead positions, so counts never double)
+    src2 = spark.range(80, 110).select(
+        F.col("id"),
+        F.concat(F.lit("NEWER"), F.col("id")).alias("v"),
+        F.timestamp_seconds(F.lit(1900000000)).alias("ts"),
+    )
+    src2.write.format("lakehouse").option("merge-keys", "id").mode("append").save(t.root)
+    t = t.refresh()
+    assert int(t.current_snapshot().summary["tombstoned-rows"]) == 30
+    rows = t.scan(spark).collect()
+    assert len(rows) == 110
+    assert sum(1 for r in rows if str(r["v"]).startswith("NEWER")) == 30
+    assert t.scan(spark).select("id").distinct().count() == 110
+
+    # compaction absorbs the writer's tombstones like any other DV
+    from ocel_ocpn_lakehouse_spark.maintenance.checkpoint import SystemTables
+    from ocel_ocpn_lakehouse_spark.maintenance.compact import execute_compaction
+
+    execute_compaction(spark, t, SystemTables(str(tmp_path / "wh")), "ns.mkw")
+    t = t.refresh()
+    assert all(not e.deletes for e in t.live_entries())
+    assert sorted(map(tuple, t.scan(spark).collect())) == sorted(map(tuple, rows))
+
+
+def test_batch_write_merge_keys_guards(registered, tmp_path):
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.mkg", rows=10, files=1)
+    df = spark.range(0, 5).select(
+        F.col("id"), F.lit("x").alias("v"),
+        F.timestamp_seconds(F.lit(0)).alias("ts"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mode\\('append'\\)"):
+        df.write.format("lakehouse").option("merge-keys", "id").mode(
+            "overwrite"
+        ).save(t.root)
+    with _pytest.raises(Exception, match="not a table column"):
+        df.write.format("lakehouse").option("merge-keys", "nope").mode(
+            "append"
+        ).save(t.root)
