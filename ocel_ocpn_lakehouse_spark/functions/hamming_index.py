@@ -156,44 +156,29 @@ def _props(index_table: Table) -> dict:
 
 
 def hamming_source_snapshot(index_table: Table) -> int | None:
-    snap = index_table.current_snapshot()
-    if snap is None:
-        return None
-    v = snap.summary.get(STAMP)
-    return int(v) if v is not None else None
+    from ..core.refresh import recorded_source_snapshot
+
+    return recorded_source_snapshot(index_table, STAMP)
 
 
 def hamming_index_is_stale(index_table: Table, source_table: Table) -> bool:
-    src = source_table.current_snapshot()
-    return hamming_source_snapshot(index_table) != (src.snapshot_id if src else None)
+    from ..core.refresh import derived_is_stale
+
+    return derived_is_stale(index_table, source_table, STAMP)
 
 
 def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table: Table) -> dict:
-    """Catch the index up to its source. Appends arrive via the source's
-    incremental scan (cost ∝ delta); anything else rebuilds. The freshness
-    stamp rides IN the data commit, so a crash can never leave rows indexed
-    without the snapshot recorded (no double-append on rerun)."""
-    from ..core.table import IncrementalScanError
+    """Catch the index up to its source via the shared freshness-stamped
+    machine (core/refresh.py): appends arrive through the incremental scan
+    (cost ∝ delta, banding the delta only); anything else rebuilds. The
+    stamp rides IN the data commit — no double-append on rerun."""
+    from ..core.refresh import refresh_derived
 
     cfg = _props(index_table)
-    cur = source_table.current_snapshot()
-    if cur is None:
-        return {"status": "empty-source"}
-    recorded = hamming_source_snapshot(index_table)
-    if recorded == cur.snapshot_id:
-        return {"status": "fresh", "source_snapshot_id": cur.snapshot_id}
 
-    delta = None
-    if recorded is not None:
-        try:
-            delta = source_table.incremental_scan(
-                spark, recorded, cur.snapshot_id, columns=[cfg["id_col"], cfg["fp_col"]]
-            )
-        except IncrementalScanError:
-            delta = None
-    if delta is not None:
-        rows = _banded(
-            delta,
+    def banded(s, df):
+        return _banded(
+            df,
             cfg["id_col"],
             cfg["fp_col"],
             cfg["max_dist"],
@@ -201,41 +186,21 @@ def hamming_index_refresh(spark: SparkSession, index_table: Table, source_table:
             cfg["blocks"],
             cfg["key_buckets"],
         )
-        # persist: the emptiness check and the append otherwise each run
-        # the incremental scan + banding (a bounded delta, so pinning it
-        # for the commit is cheap; eager op → release in finally)
-        rows = rows.persist()
-        try:
-            n = int(rows.count())
-            if n:
-                index_table.append(
-                    rows,
-                    num_files=spark.sparkContext.defaultParallelism,
-                    distribution="hash",
-                    extra_summary={STAMP: int(cur.snapshot_id)},
-                )
-            else:
-                # nothing to commit: restamp the latest snapshot
-                # (idempotent, CAS-retried, shared with the IVF index)
-                index_table.restamp_latest_summary(STAMP, int(cur.snapshot_id))
-        finally:
-            rows.unpersist()
-        return {"status": "refreshed-incremental", "rows_indexed": n}
-    full = _banded(
-        source_table.scan(spark, columns=[cfg["id_col"], cfg["fp_col"]]),
-        cfg["id_col"],
-        cfg["fp_col"],
-        cfg["max_dist"],
-        cfg["nbits"],
-        cfg["blocks"],
-        cfg["key_buckets"],
+
+    n_files = spark.sparkContext.defaultParallelism
+    r = refresh_derived(
+        spark,
+        index_table,
+        source_table,
+        STAMP,
+        banded,
+        append_delta=True,
+        scan_columns=[cfg["id_col"], cfg["fp_col"]],
+        append_kwargs={"num_files": n_files, "distribution": "hash"},
+        overwrite_kwargs={"num_files": n_files},
     )
-    snap = index_table.overwrite(
-        full,
-        num_files=spark.sparkContext.defaultParallelism,
-        extra_summary={STAMP: int(cur.snapshot_id)},
-    )
-    return {"status": "rebuilt", "rows_indexed": int(snap.summary["added-records"])}
+    r["rows_indexed"] = r.pop("rows")
+    return r
 
 
 def hamming_probe_indexed(

@@ -425,27 +425,17 @@ def ivf_index_table(
     return t
 
 
-def _stamp_ivf_source(index_table, source_snapshot_id: int) -> None:
-    """Pin the source snapshot the index reflects into the index's LATEST
-    commit summary (the exact-staleness bookkeeping mviews.py:98-104 uses
-    for M5/M7: a freshness fact is a property of a commit, not of mutable
-    table properties). CAS-retried via the shared Table helper — one stamp
-    implementation for both secondary index types."""
-    index_table.restamp_latest_summary("ivf-source-snapshot-id", int(source_snapshot_id))
-
-
 def ivf_source_snapshot(index_table) -> int | None:
     """Source snapshot id the index currently reflects (None = untracked)."""
-    snap = index_table.current_snapshot()
-    if snap is None:
-        return None
-    v = snap.summary.get("ivf-source-snapshot-id")
-    return int(v) if v is not None else None
+    from ..core.refresh import recorded_source_snapshot
+
+    return recorded_source_snapshot(index_table, "ivf-source-snapshot-id")
 
 
 def ivf_index_is_stale(index_table, source_table) -> bool:
-    src = source_table.current_snapshot()
-    return ivf_source_snapshot(index_table) != (src.snapshot_id if src else None)
+    from ..core.refresh import derived_is_stale
+
+    return derived_is_stale(index_table, source_table, "ivf-source-snapshot-id")
 
 
 def ivf_index_refresh(
@@ -465,62 +455,31 @@ def ivf_index_refresh(
     and assignment share one centroid set. A non-append-only source range
     (merge/overwrite/rollback) falls back to a full overwrite rebuild,
     still under the stored centroids (centroid retraining is a new index
-    build, not a refresh). Mirrors MVDefinition.incr_merge (M7)."""
+    build, not a refresh). Runs on the shared freshness-stamped machine
+    (core/refresh.py — ONE implementation with the Hamming index and the
+    MVs): the stamp rides IN the data commit, so a crash cannot leave rows
+    indexed without the snapshot recorded, and reruns never re-append."""
     import json as _json
 
-    from ..core.table import IncrementalScanError
+    from ..core.refresh import refresh_derived
 
-    cur = source_table.current_snapshot()
-    if cur is None:
-        return {"status": "empty-source"}
-    recorded = ivf_source_snapshot(index_table)
-    if recorded == cur.snapshot_id:
-        return {"status": "fresh", "source_snapshot_id": cur.snapshot_id}
     cents = _json.loads(index_table.md.properties["ivf.centroids"])
 
-    delta = None
-    if recorded is not None:
-        try:
-            delta = source_table.incremental_scan(spark, recorded, cur.snapshot_id)
-        except IncrementalScanError:
-            delta = None  # non-append-only range → rebuild below
-    if delta is not None:
-        dfc = delta.withColumn(
+    def assigned(s, df):
+        return df.withColumn(
             "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
         )
-        n = int(dfc.count())
-        if n:
-            # the freshness stamp rides IN the append commit: a crash
-            # cannot leave rows indexed without the snapshot recorded, so
-            # a rerun never re-appends the same delta (the two-commit form
-            # had exactly that duplication window)
-            index_table.append(
-                dfc, extra_summary={"ivf-source-snapshot-id": int(cur.snapshot_id)}
-            )
-        else:
-            # empty delta: nothing to commit — restamp the latest snapshot
-            # (idempotent; a crash just repeats the empty refresh)
-            _stamp_ivf_source(index_table, cur.snapshot_id)
-        return {
-            "status": "refreshed-incremental",
-            "rows_indexed": n,
-            "source_snapshot_id": cur.snapshot_id,
-        }
-    full = source_table.scan(spark).withColumn(
-        "cell", nearest_cell(as_double(F.col(vec_col)), cents).cast("int")
+
+    r = refresh_derived(
+        spark,
+        index_table,
+        source_table,
+        "ivf-source-snapshot-id",
+        assigned,
+        append_delta=True,
     )
-    # one commit: the freshness stamp rides IN the overwrite (a crash can
-    # no longer leave a fresh index stamped stale and trigger a redundant
-    # rebuild), and rows_indexed comes from the written footers instead of
-    # a second full scan+assignment pass
-    snap = index_table.overwrite(
-        full, extra_summary={"ivf-source-snapshot-id": int(cur.snapshot_id)}
-    )
-    return {
-        "status": "rebuilt",
-        "rows_indexed": int(snap.summary["added-records"]),
-        "source_snapshot_id": cur.snapshot_id,
-    }
+    r["rows_indexed"] = r.pop("rows")
+    return r
 
 
 def ivf_topk_indexed(

@@ -113,69 +113,55 @@ class MaterializedViewManager:
         return snap.snapshot_id if snap else None
 
     def recorded_base_snapshot(self, name: str) -> int | None:
+        from .core.refresh import recorded_source_snapshot
+
         if not self.catalog.table_exists(name):
             return None
-        mv = self.catalog.load_table(name)
-        snap = mv.current_snapshot()
-        if snap is None:
-            return None
-        return snap.summary.get("base-snapshot-id")
+        return recorded_source_snapshot(
+            self.catalog.load_table(name), "base-snapshot-id"
+        )
 
     def is_stale(self, name: str) -> bool:
         return self.recorded_base_snapshot(name) != self.base_snapshot_id(name)
 
     # ---- refresh (M2-M4 pipeline shape) ---------------------------------------
     def refresh(self, spark: SparkSession, name: str, force: bool = False) -> dict:
+        """One shared machine with the secondary indexes (core/refresh.py):
+        incr_merge rides the append-only incremental scan, cdc_merge the
+        row-level changelog, anything else rebuilds — and the
+        base-snapshot stamp lands IN the overwrite commit (the former
+        post-commit metadata rewrite left a crash window where rows were
+        published under a stale stamp). ``force`` rebuilds in full."""
+        from .core.refresh import refresh_derived
+
         d = self.definitions[name]
         if not force and not self.is_stale(name):
             return {"name": name, "status": "fresh"}
         base = self.catalog.load_table(d.base)
-        base_snap = base.current_snapshot()
-        status = "refreshed"
-        result = None
-        recorded = self.recorded_base_snapshot(name)
-        if recorded is not None and base_snap is not None:
-            from .core.table import IncrementalScanError
-
-            if d.incr_merge is not None:
-                try:
-                    delta = base.incremental_scan(
-                        spark, int(recorded), base_snap.snapshot_id
-                    )
-                    mv_now = self.catalog.load_table(name).scan(spark)
-                    result = d.incr_merge(spark, mv_now, delta)
-                    status = "refreshed-incremental"
-                except IncrementalScanError:
-                    result = None  # non-append-only range → next path
-            if result is None and d.cdc_merge is not None:
-                # the range incremental_scan refused (MoR delete, CoW merge,
-                # rollback) still refreshes at delta cost via the row-level
-                # changelog; only an expired start snapshot forces a rebuild
-                try:
-                    ch = base.changelog_scan(
-                        spark, int(recorded), base_snap.snapshot_id
-                    )
-                    mv_now = self.catalog.load_table(name).scan(spark)
-                    result = d.cdc_merge(spark, mv_now, ch)
-                    status = "refreshed-cdc"
-                except IncrementalScanError:
-                    result = None  # expired start → full rebuild below
-        if result is None:
-            result = d.build(spark, base.scan(spark))
         if not self.catalog.table_exists(name):
-            self.catalog.create_table(name, result.schema, d.spec or TableSpec())
+            # first build: create the MV table from the build's schema
+            # (plan-only — nothing executes), then the machine lands
+            # rows + stamp in one commit
+            df = d.build(spark, base.scan(spark))
+            self.catalog.create_table(name, df.schema, d.spec or TableSpec())
         mv = self.catalog.load_table(name)
-        snap = mv.overwrite(result)
-        # exact-staleness bookkeeping: pin the base snapshot into the commit
-        snap.summary["base-snapshot-id"] = base_snap.snapshot_id if base_snap else None
-        from .core import metadata as meta
-
-        md = meta.load_metadata(mv.root)
-        md.snapshots[-1].summary["base-snapshot-id"] = (
-            base_snap.snapshot_id if base_snap else None
+        r = refresh_derived(
+            spark,
+            mv,
+            base,
+            "base-snapshot-id",
+            d.build,
+            merge=d.incr_merge,
+            cdc_merge=d.cdc_merge,
+            full_status="refreshed",
+            force=force,
         )
-        meta.commit_metadata(mv.root, md, md.version)
-        return {"name": name, "status": status, "rows": result.count()}
+        if r["status"] == "empty-source":
+            # forced refresh over a base with no snapshots: a full (empty)
+            # rebuild, unstamped — the pre-helper behavior
+            snap = mv.overwrite(d.build(spark, base.scan(spark)))
+            r = {"status": "refreshed", "rows": int(snap.summary["added-records"])}
+        return {"name": name, "status": r["status"], "rows": r["rows"]}
 
     def refresh_all(self, spark: SparkSession) -> list[dict]:
         return [self.refresh(spark, n) for n in self.definitions]
