@@ -258,6 +258,17 @@ def main() -> int:
     # (the protocol tools/query_envelope_bench.py and scaling_bench.py
     # already use — adopted here per the round-2 verdict)
     settled_busy = _settle()
+    # same-run host ceilings (round-4 verdict #1): this sandbox's
+    # hypervisor throttles per-vCPU memory bandwidth by the hour, and
+    # query latencies track that ceiling. Stamping the same calibration
+    # the scaling harness uses (4→16-worker pure-CPU and pure-memcpy
+    # parallel efficiency) INTO the artifact lets a reader adjudicate
+    # "throttled host" vs "real regression" without cross-referencing
+    # runs_history.jsonl timestamps. ~20 s, measured before the queries
+    # so the ceilings describe the window the latencies came from.
+    from tools.scaling_bench import calibrate
+
+    cal = calibrate(4, 16, secs=4.0)
     queries = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -274,6 +285,9 @@ def main() -> int:
         "query_protocol": {
             "timing": "warm run + best-of-3",
             "settled_busy_frac": round(settled_busy, 3),
+            "cpu_ceiling_eff_4to16": cal["ceiling_efficiency"],
+            "memcpy_ceiling_eff_4to16": cal["copy_ceiling_efficiency"],
+            "memcpy_gbps_16w": cal["copy_gbps_large"],
         },
         "metric": "compact+cluster throughput (images/sec) with scan-equivalence",
         "value": maint["images_per_sec"],
