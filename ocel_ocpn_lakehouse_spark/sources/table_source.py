@@ -491,13 +491,16 @@ class _TableStreamReader(DataSourceStreamReader):
         start = self._last_end
         if start is None:
             # fresh query, asked for offsets before initialOffset (see
-            # __init__ note): answer WITH the initial offset — Spark runs
-            # one empty bootstrap batch, then every batch that moves data,
-            # including the offset-0 backfill of a huge table, is paced by
-            # the caps instead of arriving as one table-sized micro-batch
+            # __init__ note): anchor at the initial offset and answer with
+            # the first ADMITTED offset, so every trigger style moves data
+            # immediately — in particular Trigger.availableNow, which
+            # captures THIS value as its drain target (the Python source
+            # API gives it no way to re-consult the source), processes one
+            # capped batch per invocation instead of zero rows. The
+            # offset-0 backfill of a huge table pages under the caps
+            # either way, never arriving as one table-sized micro-batch.
             start = self._initial_snapshot_id()
             self._last_end = start
-            return {"snapshot_id": start}
         if head <= start:
             return {"snapshot_id": head}
         return {"snapshot_id": self._admit(table, start, head)}

@@ -698,3 +698,44 @@ def test_batch_write_merge_keys_guards(registered, tmp_path):
         df.write.format("lakehouse").option("merge-keys", "nope").mode(
             "append"
         ).save(t.root)
+
+
+def test_stream_read_caps_with_available_now(registered, tmp_path):
+    """Trigger.availableNow captures the source's first offset answer as
+    its drain target (the Python source API can't be re-consulted), so
+    with caps set each invocation processes ONE capped batch — never zero
+    rows — and repeated invocations drain the table exactly-once."""
+    spark = registered
+    t = _make_table(spark, tmp_path, name="ns.pacednow", rows=100, files=8)
+    for i in range(5):
+        t.refresh().append(
+            spark.range(100 + i * 10, 110 + i * 10).select(
+                F.col("id"), F.lit(f"b{i}").alias("v"),
+                F.timestamp_seconds(F.lit(0)).alias("ts"),
+            ),
+            num_files=2,
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def one():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("read.max-files-per-trigger", "4")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    counts = [one()]
+    assert counts[0] > 0, "availableNow with caps must never drain zero rows"
+    for _ in range(8):
+        counts.append(one())
+        if counts[-1] == 150:
+            break
+    assert counts[-1] == 150 and len(counts) >= 3  # paced, multi-invocation
+    assert spark.read.parquet(out).select("id").distinct().count() == 150
