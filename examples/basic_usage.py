@@ -71,8 +71,14 @@ def main() -> int:
     from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
 
     out = os.path.join(base, "export")
-    rep = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=32)
-    print(f"  {rep['exported']} shards, {rep['items']} items -> {out}")
+    # batches_per_shard sizes tars independently of the training batch:
+    # 4 consecutive same-bucket 32-image batches per tar, batch ids in
+    # the member names
+    rep = export_webdataset_job(
+        spark, cat, "ocel.images", out, batch_size=32, batches_per_shard=4
+    )
+    print(f"  {rep['exported']} tars ({rep['items']} items, "
+          f"4 batches of 32 per tar) -> {out}")
     print(f"  manifest table: {rep['manifest_table']}")
 
     # 5. replica mirror via the row-level changelog
@@ -82,6 +88,29 @@ def main() -> int:
     rep = sync_replica(spark, t.refresh(), cat, "ocel.images_mirror")
     print("  replica:", rep["status"], "-",
           cat.load_table("ocel.images_mirror").scan(spark).count(), "rows")
+
+    # 6. Spark-native verbs: MoR upsert through the vanilla writer
+    print("=" * 70, "\n6. Data source: merge-keys upsert")
+    from pyspark.sql import functions as F
+
+    from ocel_ocpn_lakehouse_spark.sources import register_lakehouse_source
+
+    register_lakehouse_source(spark)
+    # (the writer computes identity/date partitions pandas-side; a
+    # bucket-partitioned table like ocel.images upserts via merge_into —
+    # here a flat captions table takes the Spark-native verb)
+    caps = t.refresh().scan(spark).select("image_id", "caption")
+    ct = cat.create_table("ocel.captions", caps.schema)
+    ct.append(caps)
+    patch = caps.limit(16).withColumn(
+        "caption", F.concat(F.lit("[edited] "), F.col("caption"))
+    )
+    patch.write.format("lakehouse").option("merge-keys", "image_id").mode(
+        "append"
+    ).save(ct.root)
+    snap = ct.refresh().current_snapshot()
+    print(f"  merge snapshot: tombstoned {snap.summary['tombstoned-rows']} rows, "
+          f"upserted {snap.summary['upserted-rows']} -- zero data files rewritten")
 
     print("=" * 70, "\nDemo artifacts under", base)
     return 0
