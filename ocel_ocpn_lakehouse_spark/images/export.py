@@ -28,9 +28,9 @@ Scale notes (the 100 TB question): bucketing is embarrassingly parallel;
 packing is the audited q51 cumsum shape (narrow projection, O(#partitions
 + #buckets) driver state); export shuffles once on the shard key and then
 streams each group to its tar — parallelism = #shards (a 10^12-image
-corpus at ~10k images/shard is ~10^8 tasks; raise images-per-shard /
-bytes-per-shard so one shard ~ 0.5-1 GiB, the WebDataset convention, and
-the group fits executor memory comfortably). ``out_dir`` must be a
+corpus at ~10k images/shard is ~10^8 tasks; raise ``batches_per_shard``
+so one tar ~ 0.5-1 GiB, the WebDataset convention, and the group fits
+executor memory comfortably). ``out_dir`` must be a
 filesystem every executor can write (POSIX path to shared storage; the
 task writes to a temp name and renames, so a retried task never publishes
 a torn tar).
