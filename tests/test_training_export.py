@@ -564,3 +564,22 @@ def test_export_job_incremental_batches_per_shard_no_driver_manifest(
     for name in inc:  # directory contents match the manifest bytes exactly
         with open(os.path.join(out1, name), "rb") as f:
             assert hashlib.sha256(f.read()).hexdigest() == inc[name][1]
+
+
+def test_export_job_zero_row_table(spark, tmp_path):
+    """A table with a snapshot but no rows exports cleanly: empty manifest
+    overwrite, empty sweep listing (the binaryFile path on an empty
+    out_dir), zeros in the report — and a no-snapshot table raises."""
+    from ocel_ocpn_lakehouse_spark.core import Catalog, TableSpec
+    from ocel_ocpn_lakehouse_spark.images.export import export_webdataset_job
+    from ocel_ocpn_lakehouse_spark.images.synth import IMAGE_SCHEMA
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("ocel.images", IMAGE_SCHEMA, TableSpec())
+    out = str(tmp_path / "o")
+    with pytest.raises(ValueError, match="no snapshot"):
+        export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    t.append(spark.createDataFrame([], IMAGE_SCHEMA), num_files=1)
+    r = export_webdataset_job(spark, cat, "ocel.images", out, batch_size=8)
+    assert r["exported"] == 0 and r["items"] == 0 and r["swept"] == 0
+    assert cat.load_table("ocel.images_export").scan(spark).count() == 0
